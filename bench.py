@@ -1,0 +1,73 @@
+"""Benchmark: edges/s/chip in the message-passing training loop [B:L2].
+
+Runs the flagship n=40 decision-TSP training step (forward tmax scan +
+backward + Adam) on the attached chip and reports edge-updates per second
+(real edges x tmax per step / step time).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: BASELINE.json has no published throughput ("published": {},
+SURVEY §6) — reported as the ratio to the previous round's recorded value
+(BENCH_r*.json) when present, else 1.0.
+"""
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tsp_gnn_tpu import train as tr
+    from tsp_gnn_tpu.config import get_config
+    from tsp_gnn_tpu.data import generator
+    from tsp_gnn_tpu.data.loader import make_dense_batch
+    from tsp_gnn_tpu.models import tsp
+
+    cfg = get_config("n40")  # n in [20,40], batch 128, tmax 32
+    n_pad = cfg.data.pad_n
+    rng = np.random.default_rng(0)
+    insts = [generator.generate_instance(
+        rng, int(rng.integers(cfg.data.n_min, cfg.data.n_max + 1)),
+        "two_opt", restarts=1) for _ in range(cfg.data.batch_size // 2)]
+    batch = make_dense_batch(insts, cfg.data.deviation, n_pad)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+    opt_state = tr.make_optimizer(cfg).init(params)
+
+    # warmup / compile
+    params, opt_state, m = tr.train_step(params, opt_state, jb, cfg)
+    jax.block_until_ready(m["loss"])
+
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, m = tr.train_step(params, opt_state, jb, cfg)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    edge_updates = int(batch["n_edges"].sum()) * cfg.model.tmax * steps
+    eps = edge_updates / dt
+
+    prev = None
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            rec = json.load(open(f))
+            if rec.get("metric", "").startswith("edges_per_s"):
+                prev = rec["value"]
+        except Exception:
+            pass
+    vs = (eps / prev) if prev else 1.0
+    print(json.dumps({"metric": "edges_per_s_per_chip", "value": eps,
+                      "unit": "edge-updates/s", "vs_baseline": round(vs, 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Data-path tests (SURVEY §4.4): solver optimality, generator determinism,
+file round-trip, dual-label balance, block/batch invariants."""
+import itertools
+
+import numpy as np
+import pytest
+
+from tsp_gnn_tpu.data import fileio, generator, solver
+from tsp_gnn_tpu.data.loader import InstanceLoader, make_dense_batch, num_edges
+from tsp_gnn_tpu.models.tsp import edge_list, incidence
+
+
+def brute_force(dist):
+    n = dist.shape[0]
+    best = np.inf
+    for perm in itertools.permutations(range(1, n)):
+        tour = np.asarray((0,) + perm)
+        best = min(best, solver.tour_cost(dist, tour))
+    return best
+
+
+def test_held_karp_optimal(rng):
+    for _ in range(5):
+        coords = rng.random((7, 2))
+        dist = generator.pairwise_dist(coords)
+        tour, cost = solver.held_karp(dist)
+        assert sorted(tour) == list(range(7))
+        np.testing.assert_allclose(cost, solver.tour_cost(dist, tour), rtol=1e-9)
+        np.testing.assert_allclose(cost, brute_force(dist), rtol=1e-9)
+
+
+def test_two_opt_near_optimal(rng):
+    gaps = []
+    for _ in range(5):
+        coords = rng.random((11, 2))
+        dist = generator.pairwise_dist(coords)
+        _, opt = solver.held_karp(dist)
+        tour, cost = solver.local_search(dist, restarts=4, rng=rng)
+        assert sorted(tour) == list(range(11))
+        gaps.append(cost / opt - 1.0)
+    assert np.mean(gaps) < 0.01, f"2-opt mean gap too large: {gaps}"
+
+
+def test_generator_deterministic():
+    a = generator.generate_instances(seed=3, count=3, n_min=8, n_max=12)
+    b = generator.generate_instances(seed=3, count=3, n_min=8, n_max=12)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["W"], y["W"])
+        np.testing.assert_allclose(x["opt_cost"], y["opt_cost"])
+    assert all(8 <= i["n"] <= 12 for i in a)
+    # weights live in [0, sqrt(2)]
+    assert all(0 <= i["W"].min() and i["W"].max() <= np.sqrt(2) for i in a)
+
+
+def test_shard_roundtrip(tmp_path):
+    insts = generator.generate_instances(seed=1, count=4, n_min=8, n_max=10)
+    p = str(tmp_path / "shard.npz")
+    generator.save_shard(p, insts)
+    back = generator.load_shard(p)
+    assert len(back) == 4
+    for x, y in zip(insts, back):
+        np.testing.assert_array_equal(x["W"], y["W"])
+        assert x["n"] == y["n"]
+
+
+def test_graph_file_roundtrip(tmp_path):
+    inst = generator.generate_instance(np.random.default_rng(0), 9)
+    p = str(tmp_path / "i.graph")
+    fileio.write_graph(p, inst)
+    back = fileio.read_graph(p)
+    assert back["n"] == 9
+    np.testing.assert_allclose(back["W"], inst["W"], rtol=1e-6)
+    np.testing.assert_allclose(back["opt_cost"], inst["opt_cost"], rtol=1e-6)
+    np.testing.assert_array_equal(back["tour"], inst["tour"])
+
+
+def test_dense_batch_invariants():
+    insts = generator.generate_instances(seed=2, count=3, n_min=8, n_max=12)
+    dev = 0.02
+    batch = make_dense_batch(insts, dev, pad_n=12)
+    B, m = batch["W"].shape
+    assert B == 6 and m == num_edges(12)
+    # dual labels: alternating YES/NO, balanced
+    np.testing.assert_array_equal(batch["labels"], [1, 0] * 3)
+    # YES target cost > NO target cost, both = (1 +/- dev) * C*/n on real edges
+    for i, inst in enumerate(insts):
+        n = inst["n"]
+        em = batch["edge_mask"][2 * i] > 0
+        cn = inst["opt_cost"] / n
+        np.testing.assert_allclose(batch["C"][2 * i][em], (1 + dev) * cn, rtol=1e-5)
+        np.testing.assert_allclose(batch["C"][2 * i + 1][em], (1 - dev) * cn, rtol=1e-5)
+        assert em.sum() == num_edges(n)
+        assert batch["vertex_mask"][2 * i].sum() == n
+    # padded lanes carry zeros
+    assert (batch["W"] * (1 - batch["edge_mask"])).sum() == 0
+
+
+def test_incidence_row_sums():
+    for n in (5, 12, 20):
+        ev = incidence(n)
+        np.testing.assert_array_equal(ev.sum(1), 2 * np.ones(num_edges(n)))
+        e = edge_list(n)
+        # each vertex appears in n-1 edges
+        np.testing.assert_array_equal(ev.sum(0), (n - 1) * np.ones(n))
+        assert (e[:, 0] < e[:, 1]).all()
+
+
+def test_instance_loader_batches(tmp_path):
+    insts = generator.generate_instances(seed=4, count=8, n_min=8, n_max=10)
+    loader = InstanceLoader(insts, deviation=0.02, pad_n=10)
+    batches = list(loader.get_batches(4))
+    assert len(batches) == 2
+    assert batches[0]["W"].shape == (8, num_edges(10))
+    # directory loading
+    generator.save_shard(str(tmp_path / "s0.npz"), insts[:4])
+    generator.save_shard(str(tmp_path / "s1.npz"), insts[4:])
+    loader2 = InstanceLoader(str(tmp_path), deviation=0.02)
+    assert len(loader2.instances) == 8

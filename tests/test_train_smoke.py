@@ -1,0 +1,71 @@
+"""End-to-end smoke test = PR1 config [B:L7] (SURVEY §4.5): train a small
+model for a few steps on CPU; loss must decrease and accuracy must beat
+chance on held-out data.  Also covers checkpoint save/resume."""
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tsp_gnn_tpu import train as tr
+from tsp_gnn_tpu.config import get_config
+from tsp_gnn_tpu.data import generator
+from tsp_gnn_tpu.data.loader import make_dense_batch
+from tsp_gnn_tpu.models import tsp
+from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+
+def small_cfg():
+    cfg = get_config("pr1")
+    # shrink for CI speed: d=32, tmax=8, n=10; dev=0.3 lifts off in ~1 epoch
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, d=32, tmax=8),
+        data=dataclasses.replace(cfg.data, n_min=10, n_max=10, pad_n=10,
+                                 batch_size=32, deviation=0.30),
+        train=dataclasses.replace(cfg.train, lr=1e-3, batches_per_epoch=16),
+    )
+    return cfg
+
+
+def test_loss_decreases_and_beats_chance(tmp_path):
+    cfg = small_cfg()
+    out = tr.train(cfg, epochs=3, seed=0, log_dir=str(tmp_path),
+                   eval_instances=32)
+    m = out["metrics"]
+    assert np.isfinite(m["train_loss"])
+    assert m["train_loss"] < 0.67, f"loss did not decrease: {m['train_loss']}"
+    # at 30% deviation a couple of epochs must separate YES/NO clearly
+    assert m["eval_acc"] > 0.7, f"eval acc {m['eval_acc']} not above chance"
+    # metrics file written
+    assert os.path.exists(tmp_path / "metrics.jsonl")
+
+
+def test_checkpoint_resume(tmp_path):
+    cfg = small_cfg()
+    tr.train(cfg, epochs=2, seed=1, log_dir=str(tmp_path), eval_instances=8)
+    latest = ckpt.latest_checkpoint(str(tmp_path / "checkpoints"))
+    assert latest and latest.endswith("ckpt_1.pkl")
+    # resume continues to epoch 3 without re-running 0..1
+    out = tr.train(cfg, epochs=3, seed=1, log_dir=str(tmp_path),
+                   eval_instances=8)
+    assert out["metrics"]["epoch"] == 2
+    state = ckpt.load_checkpoint(
+        ckpt.latest_checkpoint(str(tmp_path / "checkpoints")))
+    assert state["epoch"] == 2
+
+
+def test_train_step_jit_stable():
+    """Two train steps with the same donated buffers run without error and
+    change the params."""
+    cfg = small_cfg()
+    rng = np.random.default_rng(0)
+    insts = [generator.generate_instance(rng, 12) for _ in range(4)]
+    batch = tr.device_batch(make_dense_batch(insts, 0.1, 12))
+    params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+    opt_state = tr.make_optimizer(cfg).init(params)
+    p0 = np.asarray(params["v_init"]).copy()
+    params, opt_state, m1 = tr.train_step(params, opt_state, batch, cfg)
+    params, opt_state, m2 = tr.train_step(params, opt_state, batch, cfg)
+    assert np.isfinite(float(m2["loss"]))
+    assert not np.allclose(np.asarray(params["v_init"]), p0)

@@ -1,0 +1,153 @@
+"""Config tree for the framework.
+
+The reference (TSP-GNN train.py / dataset.py) used per-script argparse with
+hyperparameters as literals [SURVEY §5 "Config"].  Here every BASELINE.json
+config row is a named preset over one dataclass tree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Decision-TSP typed-GNN hyperparameters (paper defaults).
+
+    Parity notes (SURVEY §2.3/§2.4): d=64, tmax=32 at train time, MLP depth 3,
+    LayerNorm-LSTM cells with relu cell activation (TGN-library default;
+    tanh selectable for the ambiguity flagged in SURVEY §2.3), readout =
+    per-edge vote MLP + per-instance mean logit.
+    """
+    d: int = 64                      # embedding dim for both V and E types
+    tmax: int = 32                   # message-passing iterations (train)
+    mlp_depth: int = 3               # dense layers per message/readout MLP
+    cell_activation: str = "relu"    # "relu" | "tanh"  (SURVEY §2.3 ambiguity)
+    msg_activation: str = "relu"     # hidden activation of message MLPs
+    forget_bias: float = 1.0         # TF LayerNormBasicLSTMCell default
+    ln_eps: float = 1e-12            # tf.contrib.layers.layer_norm epsilon
+    feed_wc_each_step: bool = False  # also feed raw [w,c] to the E cell input
+                                     # every iteration (reference-variant flag,
+                                     # SURVEY §2.4 [K-med])
+    dtype: str = "float32"           # compute dtype of the jnp path
+    param_dtype: str = "float32"
+    remat: bool = True               # rematerialize the MP scan for backprop
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Instance generation + labeling (SURVEY §2.5)."""
+    n_min: int = 20
+    n_max: int = 40
+    deviation: float = 0.02          # +/- dev cost-threshold dual labeling
+    solver: str = "auto"             # "auto" | "held_karp" | "two_opt" | "cpp"
+    two_opt_restarts: int = 4
+    seed: int = 0
+    # batching
+    batch_size: int = 16             # instances per batch (paper: 16)
+    # padded dense layout: instances padded to pad_n vertices
+    pad_n: Optional[int] = None      # default: n_max
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 2e-5                 # Adam, paper value
+    grad_clip: float = 0.65          # global-norm clip (NeuroSAT lineage)
+    epochs: int = 100
+    batches_per_epoch: int = 128     # paper: epoch = 128 batches
+    eval_batches: int = 16
+    checkpoint_every: int = 1        # epochs
+    log_path: str = "runs/default"
+    resume: bool = True
+    bf16: bool = False               # bfloat16 embeddings (large-batch preset)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh: (data, graph).  data = instance-level DP; graph =
+    edge-partition of large instances with halo exchange (SURVEY §2.2)."""
+    data: int = 1
+    graph: int = 1
+    axis_names: Tuple[str, str] = ("data", "graph")
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    """Pallas kernel knobs."""
+    use_pallas: bool = True          # use fused Pallas MP step where possible
+    batch_tile: int = 8              # batch items per kernel grid step
+    interpret: bool = False          # interpreter mode (CPU CI)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    kernel: KernelConfig = field(default_factory=KernelConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _preset_pr1() -> Config:
+    """BASELINE.json configs[0]: decision-TSP n=20, batch 32, tmax=25, CPU-runnable."""
+    return Config(
+        model=ModelConfig(tmax=25),
+        data=DataConfig(n_min=20, n_max=20, batch_size=32, pad_n=20),
+        train=TrainConfig(batches_per_epoch=32),
+    )
+
+
+def _preset_n40() -> Config:
+    """BASELINE.json configs[1]: n=40, batch 128, curriculum over deviation 2%."""
+    return Config(
+        model=ModelConfig(tmax=32),
+        data=DataConfig(n_min=20, n_max=40, batch_size=128, pad_n=40),
+        train=TrainConfig(),
+    )
+
+
+def _preset_size_gen() -> Config:
+    """BASELINE.json configs[2]: train n=20-40, test n=60-80, tmax=50."""
+    return Config(
+        model=ModelConfig(tmax=50),
+        data=DataConfig(n_min=60, n_max=80, batch_size=64, pad_n=80),
+    )
+
+
+def _preset_large_batch() -> Config:
+    """BASELINE.json configs[3]: 4k instances/batch, fused kernels, bf16."""
+    return Config(
+        model=ModelConfig(tmax=32, dtype="bfloat16"),
+        data=DataConfig(n_min=20, n_max=40, batch_size=4096, pad_n=40),
+        train=TrainConfig(bf16=True),
+        kernel=KernelConfig(use_pallas=True, batch_tile=16),
+    )
+
+
+def _preset_multihost() -> Config:
+    """BASELINE.json configs[4]: edge-partitioned mega-batch, n up to 200."""
+    return Config(
+        model=ModelConfig(tmax=32),
+        data=DataConfig(n_min=100, n_max=200, batch_size=256, pad_n=200),
+        mesh=MeshConfig(data=1, graph=4),
+    )
+
+
+PRESETS = {
+    "pr1": _preset_pr1,
+    "n40": _preset_n40,
+    "size_gen": _preset_size_gen,
+    "large_batch": _preset_large_batch,
+    "multihost": _preset_multihost,
+}
+
+
+def get_config(name: str = "pr1", **overrides) -> Config:
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

@@ -1,0 +1,114 @@
+"""Batch assembly + dual cost-threshold labeling.
+
+Parity target: the reference's instance_loader.py [SURVEY §2.5, §3.4]: every
+generated instance with optimal cost C* yields TWO training problems —
+target (1+dev)*C* labeled YES and (1-dev)*C* labeled NO — so batches are
+balanced by construction; the per-edge target-cost channel is the
+per-vertex-normalised cost C/n.
+
+TPU-native layout decision: instead of the reference's block-diagonal sparse
+mega-graph, the default batch is DENSE-PADDED — all instances padded to a
+static pad_n, the K_{pad_n} incidence shared batch-wide (one MXU matmul per
+aggregation).  The block-diagonal sparse layout still exists for the
+edge-partitioned multi-chip path (tsp_gnn_tpu/parallel) and the Pallas
+ELL kernels (tsp_gnn_tpu/ops).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from tsp_gnn_tpu.models.tsp import edge_list
+
+
+def num_edges(n: int) -> int:
+    return n * (n - 1) // 2
+
+
+def _edge_mask(n: int, pad_n: int) -> np.ndarray:
+    """Mask of K_n edges inside the canonical K_{pad_n} edge order."""
+    e = edge_list(pad_n)
+    return ((e[:, 0] < n) & (e[:, 1] < n)).astype(np.float32)
+
+
+def _embed_weights(W_n: np.ndarray, n: int, pad_n: int) -> np.ndarray:
+    """Scatter K_n canonical weights into K_{pad_n} canonical edge slots."""
+    e = edge_list(pad_n)
+    out = np.zeros(e.shape[0], np.float32)
+    sel = (e[:, 0] < n) & (e[:, 1] < n)
+    out[sel] = W_n
+    return out
+
+
+def make_dense_batch(instances: List[Dict], deviation: float,
+                     pad_n: int) -> Dict[str, np.ndarray]:
+    """2 problems per instance (YES at (1+dev), NO at (1-dev)).
+
+    Returns arrays: W [B,m], C [B,m], edge_mask [B,m], vertex_mask [B,n],
+    labels [B], n_vertices [B], n_edges [B]   with B = 2*len(instances),
+    m = pad_n*(pad_n-1)/2.
+    """
+    m_pad = num_edges(pad_n)
+    B = 2 * len(instances)
+    W = np.zeros((B, m_pad), np.float32)
+    C = np.zeros((B, m_pad), np.float32)
+    emask = np.zeros((B, m_pad), np.float32)
+    vmask = np.zeros((B, pad_n), np.float32)
+    labels = np.zeros((B,), np.float32)
+    n_v = np.zeros((B,), np.int32)
+    n_e = np.zeros((B,), np.int32)
+    for i, inst in enumerate(instances):
+        n = int(inst["n"])
+        assert n <= pad_n, f"instance n={n} exceeds pad_n={pad_n}"
+        w = _embed_weights(np.asarray(inst["W"], np.float32), n, pad_n)
+        em = _edge_mask(n, pad_n)
+        cost_norm = float(inst["opt_cost"]) / n   # per-vertex normalisation [P]
+        for k, (sign, label) in enumerate(((1.0, 1.0), (-1.0, 0.0))):
+            b = 2 * i + k
+            W[b] = w
+            C[b] = (1.0 + sign * deviation) * cost_norm * em
+            emask[b] = em
+            vmask[b, :n] = 1.0
+            labels[b] = label
+            n_v[b] = n
+            n_e[b] = num_edges(n)
+    return {"W": W, "C": C, "edge_mask": emask, "vertex_mask": vmask,
+            "labels": labels, "n_vertices": n_v, "n_edges": n_e}
+
+
+class InstanceLoader:
+    """Reference-parity loader API [SURVEY §1 L1]: wraps a list of instances
+    (or a directory of shards / .graph files) and yields feed-ready batches."""
+
+    def __init__(self, source, deviation: float = 0.02,
+                 pad_n: Optional[int] = None, shuffle_seed: int = 0):
+        from tsp_gnn_tpu.data import fileio, generator
+        if isinstance(source, str):
+            import glob
+            import os
+            if os.path.isdir(source):
+                insts = []
+                for p in sorted(glob.glob(os.path.join(source, "*.npz"))):
+                    insts.extend(generator.load_shard(p))
+                for p in sorted(glob.glob(os.path.join(source, "*.graph"))):
+                    insts.append(fileio.read_graph(p))
+                self.instances = insts
+            else:
+                self.instances = generator.load_shard(source)
+        else:
+            self.instances = list(source)
+        assert self.instances, "no instances found"
+        self.deviation = deviation
+        self.pad_n = pad_n or max(int(i["n"]) for i in self.instances)
+        self._rng = np.random.default_rng(shuffle_seed)
+
+    def get_batches(self, batch_size: int,
+                    shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield dense batches of `batch_size` instances (2x problems each)."""
+        order = np.arange(len(self.instances))
+        if shuffle:
+            self._rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            chunk = [self.instances[j] for j in order[s:s + batch_size]]
+            yield make_dense_batch(chunk, self.deviation, self.pad_n)

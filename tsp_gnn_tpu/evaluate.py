@@ -1,0 +1,120 @@
+"""Evaluation sweeps — the reference's analysis scripts [SURVEY §3.3].
+
+Three sweeps define the published evaluation protocol:
+  * deviation sweep: accuracy vs cost deviation in [-10%, +10%] for a model
+    trained at 2% (sigmoid-shaped curve, ~50% at 0 dev);
+  * size generalization: train n in [20,40], test n in [60,80] [B:L9];
+  * tmax extrapolation: accuracy vs message-passing iterations at test time.
+
+Each returns structured rows and can write JSONL.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsp_gnn_tpu.config import Config, get_config
+from tsp_gnn_tpu.data import generator
+from tsp_gnn_tpu.data.loader import make_dense_batch
+from tsp_gnn_tpu.models import tsp
+from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+
+def _accuracy(params, batch, cfg: Config, tmax: Optional[int] = None) -> float:
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    logits = tsp.forward(params, jb, cfg.model, tmax=tmax)
+    labels = jb["labels"]
+    return float(jnp.mean(((logits > 0).astype(jnp.float32) == labels)))
+
+
+def deviation_sweep(params, cfg: Config, deviations: Sequence[float],
+                    n_instances: int = 128, seed: int = 1234,
+                    pad_n: Optional[int] = None) -> List[Dict]:
+    """Accuracy at each |deviation| (YES at +dev, NO at -dev) without retrain."""
+    rng = np.random.default_rng(seed)
+    d = cfg.data
+    insts = [generator.generate_instance(
+        rng, int(rng.integers(d.n_min, d.n_max + 1)), d.solver,
+        d.two_opt_restarts) for _ in range(n_instances)]
+    rows = []
+    for dev in deviations:
+        batch = make_dense_batch(insts, dev, pad_n or d.pad_n or d.n_max)
+        rows.append({"sweep": "deviation", "deviation": dev,
+                     "accuracy": _accuracy(params, batch, cfg)})
+    return rows
+
+
+def size_generalization_sweep(params, cfg: Config, test_sizes: Sequence[int],
+                              n_instances: int = 64, seed: int = 77,
+                              tmax: Optional[int] = None) -> List[Dict]:
+    """Accuracy at test sizes beyond the training range [B:L9]."""
+    rows = []
+    for n in test_sizes:
+        rng = np.random.default_rng(seed + n)
+        insts = [generator.generate_instance(rng, n, cfg.data.solver,
+                                             cfg.data.two_opt_restarts)
+                 for _ in range(n_instances)]
+        batch = make_dense_batch(insts, cfg.data.deviation, n)
+        rows.append({"sweep": "size", "n": n, "tmax": tmax or cfg.model.tmax,
+                     "accuracy": _accuracy(params, batch, cfg, tmax=tmax)})
+    return rows
+
+
+def tmax_sweep(params, cfg: Config, tmaxes: Sequence[int],
+               n_instances: int = 64, seed: int = 99) -> List[Dict]:
+    """Accuracy vs test-time message-passing iterations."""
+    rng = np.random.default_rng(seed)
+    d = cfg.data
+    insts = [generator.generate_instance(
+        rng, int(rng.integers(d.n_min, d.n_max + 1)), d.solver,
+        d.two_opt_restarts) for _ in range(n_instances)]
+    batch = make_dense_batch(insts, d.deviation, d.pad_n or d.n_max)
+    return [{"sweep": "tmax", "tmax": t,
+             "accuracy": _accuracy(params, batch, cfg, tmax=t)}
+            for t in tmaxes]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Decision-TSP evaluation sweeps")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--preset", default="n40")
+    p.add_argument("--sweep", choices=["deviation", "size", "tmax", "all"],
+                   default="all")
+    p.add_argument("--out", default=None, help="JSONL output path")
+    p.add_argument("--instances", type=int, default=128)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.preset)
+    state = ckpt.load_checkpoint(args.checkpoint)
+    assert state is not None, f"no checkpoint at {args.checkpoint}"
+    params = state["params"]
+
+    rows: List[Dict] = []
+    if args.sweep in ("deviation", "all"):
+        rows += deviation_sweep(
+            params, cfg, [0.0, 0.01, 0.02, 0.05, 0.10],
+            n_instances=args.instances)
+    if args.sweep in ("size", "all"):
+        rows += size_generalization_sweep(
+            params, cfg, [40, 50, 60, 70, 80], n_instances=args.instances // 2,
+            tmax=50)
+    if args.sweep in ("tmax", "all"):
+        rows += tmax_sweep(params, cfg, [8, 16, 32, 48, 64],
+                           n_instances=args.instances // 2)
+
+    for r in rows:
+        print(json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Typed Graph Network engine — the generic message-passing core.
+
+Parity target: the reference's `graphnn.GraphNN` [SURVEY §2.3] — per-type
+LayerNorm-LSTM state, per-message MLPs, adjacency-driven sum aggregation, a
+while-loop over tmax iterations with synchronous (Jacobi) type updates.
+
+TPU-native redesign decisions (NOT a port):
+  * Functional: params are a pytree; one `tgn_step` is pure; the tmax loop is
+    `jax.lax.scan` (single trace, XLA-unrollable, remat-able) instead of
+    tf.while_loop with mutable variable scopes.
+  * Matrices are dense batched tensors ([R, C] shared across the batch or
+    [B, R, C]); the aggregation `M @ msg(h)` lowers to MXU matmuls via einsum.
+    For complete TSP graphs this dense form IS the fast path; the
+    block-diagonal sparse path lives in `tsp_gnn_tpu.ops` (SURVEY §7 "hard
+    parts" #2).
+  * Per-type masks zero messages from padded lanes so padded batches compute
+    exactly the unpadded values on real lanes.
+
+Spec mirrors the reference constructor:
+  var  : {type: embedding_dim}
+  mat  : {matrix_name: (row_type, col_type_or_int)}
+  msg  : {msg_name: (src_type, tgt_type)}
+  loop : {target_type: (rule, ...)} with rule =
+         {"mat": name, "msg": msg_name?, "var": src_type?, "transpose": bool?}
+         a rule without "msg" feeds the raw matrix columns to the cell.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tsp_gnn_tpu.models import cells, mlp
+
+
+@dataclass(frozen=True)
+class TGNSpec:
+    var: Mapping[str, int]
+    mat: Mapping[str, Tuple[str, Any]]
+    msg: Mapping[str, Tuple[str, str]]
+    loop: Mapping[str, Tuple[Mapping[str, Any], ...]]
+    mlp_depth: int = 3
+    cell_activation: str = "relu"
+    msg_activation: str = "relu"
+    forget_bias: float = 1.0
+    ln_eps: float = 1e-12
+
+    def cell_input_dim(self, vtype: str) -> int:
+        """Sum of per-rule contributions to the target type's cell input."""
+        total = 0
+        for rule in self.loop[vtype]:
+            if "msg" in rule and rule["msg"] is not None:
+                total += self.var[vtype]  # message MLPs emit target dim
+            else:
+                cols = self.mat[rule["mat"]][1]
+                total += cols if isinstance(cols, int) else self.var[cols]
+        return total
+
+
+def tgn_init(key, spec: TGNSpec, dtype=jnp.float32) -> dict:
+    """Init per-type cells and per-message MLPs (reference _init_parameters)."""
+    n_cells = len(spec.var)
+    keys = jax.random.split(key, n_cells + len(spec.msg))
+    params: dict = {"cells": {}, "msgs": {}}
+    for k, (vtype, dim) in zip(keys[:n_cells], sorted(spec.var.items())):
+        params["cells"][vtype] = cells.lstm_init(
+            k, spec.cell_input_dim(vtype), dim, dtype)
+    for k, (mname, (src, tgt)) in zip(keys[n_cells:], sorted(spec.msg.items())):
+        sizes = mlp.mlp_sizes(spec.var[src], spec.var[tgt], spec.mlp_depth)
+        params["msgs"][mname] = mlp.mlp_init(k, sizes, dtype)
+    return params
+
+
+def _aggregate(M: jnp.ndarray, x: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+    """Sum-aggregation M @ x (or M^T @ x).  M: [R,C] or [B,R,C]; x: [B,*,d]."""
+    if M.ndim == 2:
+        eq = "mn,bmd->bnd" if transpose else "mn,bnd->bmd"
+    else:
+        eq = "bmn,bmd->bnd" if transpose else "bmn,bnd->bmd"
+    return jnp.einsum(eq, M, x, preferred_element_type=x.dtype)
+
+
+def tgn_step(
+    params: dict,
+    spec: TGNSpec,
+    matrices: Mapping[str, jnp.ndarray],
+    states: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    masks: Optional[Mapping[str, jnp.ndarray]] = None,
+) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One synchronous (Jacobi) message-passing iteration.
+
+    states[t] = (c, h) with h: [B, N_t, d_t].  All types read the PREVIOUS
+    iteration's h (reference semantics, SURVEY §2.3 step 3).
+    masks[t]: [B, N_t] zeroing messages emitted by padded lanes.
+    """
+    cell_act = cells.get_activation(spec.cell_activation)
+    msg_act = cells.get_activation(spec.msg_activation)
+
+    # Compute all messages from previous h (masked at the source).
+    msgs_out: Dict[str, jnp.ndarray] = {}
+    for mname in sorted(spec.msg):
+        src, _tgt = spec.msg[mname]
+        h_src = states[src][1]
+        if masks is not None and src in masks:
+            h_src = h_src * masks[src][..., None]
+        msgs_out[mname] = mlp.mlp_apply(
+            params["msgs"][mname], h_src, hidden_activation=msg_act)
+
+    new_states: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    for vtype in sorted(spec.loop):
+        pieces = []
+        for rule in spec.loop[vtype]:
+            M = matrices[rule["mat"]]
+            if "msg" in rule and rule["msg"] is not None:
+                src = msgs_out[rule["msg"]]
+                if masks is not None:
+                    # mask again post-MLP: MLP biases make padded rows nonzero
+                    src_type = spec.msg[rule["msg"]][0]
+                    if src_type in masks:
+                        src = src * masks[src_type][..., None]
+                pieces.append(_aggregate(M, src, rule.get("transpose", False)))
+            else:
+                raw = M if M.ndim == 3 else jnp.broadcast_to(
+                    M[None], states[vtype][1].shape[:1] + M.shape)
+                pieces.append(raw)
+        cell_in = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, -1)
+        _, new_states[vtype] = cells.lstm_apply(
+            params["cells"][vtype], cell_in, states[vtype],
+            activation=cell_act, forget_bias=spec.forget_bias,
+            ln_eps=spec.ln_eps)
+    return new_states
+
+
+def tgn_run(
+    params: dict,
+    spec: TGNSpec,
+    matrices: Mapping[str, jnp.ndarray],
+    initial_states: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]],
+    tmax: int,
+    masks: Optional[Mapping[str, jnp.ndarray]] = None,
+    remat: bool = False,
+    return_trajectory: bool = False,
+):
+    """Run tmax iterations via lax.scan (reference: tf.while_loop).
+
+    Returns final states; with return_trajectory also {type: h_t stack
+    [tmax, B, N, d]} for the oracle allclose tests.
+    """
+    step = lambda st: tgn_step(params, spec, matrices, st, masks)
+    if remat:
+        step = jax.checkpoint(step)
+
+    def body(carry, _):
+        nxt = step(carry)
+        ys = {t: nxt[t][1] for t in nxt} if return_trajectory else None
+        return nxt, ys
+
+    final, traj = jax.lax.scan(body, dict(initial_states), None, length=tmax)
+    return (final, traj) if return_trajectory else final

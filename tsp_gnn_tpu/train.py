@@ -1,0 +1,220 @@
+"""Training loop for decision-TSP.
+
+Parity target: the reference's train.py [SURVEY §2.1 C7, §3.2] — epochs of
+`batches_per_epoch` batches of `batch_size` instances (paper: 128x16), Adam
+2e-5 with global-norm clipping, per-epoch log line + checkpoint.
+
+TPU-native: one jitted train step (forward scan + grad + Adam fused by XLA),
+buffer donation, optional bf16 compute, curriculum over instance size and
+deviation [B:L8], JSONL metrics with edges/s/chip [B:L2], pickle/orbax
+checkpoints with full resume state.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tsp_gnn_tpu.config import Config, get_config
+from tsp_gnn_tpu.data import generator
+from tsp_gnn_tpu.data.loader import make_dense_batch, num_edges
+from tsp_gnn_tpu.models import tsp
+from tsp_gnn_tpu.utils import checkpoint as ckpt
+from tsp_gnn_tpu.utils.metrics import MetricsLogger
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(cfg.train.lr),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def train_step(params, opt_state, batch, cfg: Config):
+    def loss(p):
+        return tsp.loss_fn(p, batch, cfg.model)
+    (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
+    updates, opt_state = make_optimizer(cfg).update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    gnorm = optax.global_norm(grads)
+    return params, opt_state, {"loss": l, "accuracy": aux["accuracy"],
+                               "grad_norm": gnorm}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_step(params, batch, cfg: Config):
+    _, aux = tsp.loss_fn(params, batch, cfg.model)
+    return {"loss": aux["loss"], "accuracy": aux["accuracy"]}
+
+
+class Curriculum:
+    """Instance-size + deviation curriculum [B:L8, SURVEY §2.6].
+
+    Size ramps linearly from (n_min, n_min+span0) to (n_min, n_max) over
+    `ramp_epochs`; deviation stays at cfg.data.deviation by default but can
+    anneal from `dev_start` down to the target (harder) value.
+    """
+
+    def __init__(self, cfg: Config, ramp_epochs: int = 0,
+                 dev_start: Optional[float] = None):
+        self.cfg = cfg
+        self.ramp_epochs = ramp_epochs
+        self.dev_start = dev_start
+
+    def at_epoch(self, epoch: int) -> Tuple[int, int, float]:
+        d = self.cfg.data
+        if self.ramp_epochs and epoch < self.ramp_epochs:
+            frac = epoch / max(1, self.ramp_epochs)
+            n_hi = int(round(d.n_min + frac * (d.n_max - d.n_min)))
+        else:
+            n_hi = d.n_max
+        dev = d.deviation
+        if self.dev_start is not None and self.ramp_epochs:
+            frac = min(1.0, epoch / max(1, self.ramp_epochs))
+            dev = self.dev_start + frac * (d.deviation - self.dev_start)
+        return d.n_min, max(d.n_min, n_hi), dev
+
+    def state(self, epoch: int) -> dict:
+        lo, hi, dev = self.at_epoch(epoch)
+        return {"cur_n_min": lo, "cur_n_max": hi, "cur_deviation": dev}
+
+
+def batch_stream(cfg: Config, seed: int, curriculum: Optional[Curriculum] = None,
+                 epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """On-the-fly instance generation -> dense padded batches."""
+    d = cfg.data
+    lo, hi, dev = (curriculum.at_epoch(epoch) if curriculum
+                   else (d.n_min, d.n_max, d.deviation))
+    rng = np.random.default_rng(seed)
+    pad_n = d.pad_n or d.n_max
+    while True:
+        insts = [generator.generate_instance(
+            rng, int(rng.integers(lo, hi + 1)), d.solver, d.two_opt_restarts)
+            for _ in range(d.batch_size)]
+        yield make_dense_batch(insts, dev, pad_n)
+
+
+def edges_per_step(batch: Dict[str, np.ndarray], tmax: int) -> int:
+    """Edge-updates processed per optimiser step: real edges x tmax iters."""
+    return int(batch["n_edges"].sum()) * tmax
+
+
+def device_batch(batch: Dict[str, np.ndarray], dtype=jnp.float32):
+    cast = {"W", "C", "edge_mask", "vertex_mask", "labels"}
+    return {k: jnp.asarray(v, dtype if k in cast else None)
+            for k, v in batch.items()}
+
+
+def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
+          log_dir: Optional[str] = None, curriculum_ramp: int = 0,
+          eval_instances: int = 64, data_path: Optional[str] = None) -> dict:
+    """data_path: directory of npz shards / .graph files (reference-style
+    pre-generated training set); None = on-the-fly generation."""
+    epochs = epochs if epochs is not None else cfg.train.epochs
+    log_dir = log_dir or cfg.train.log_path
+    logger = MetricsLogger(os.path.join(log_dir, "metrics.jsonl"))
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+
+    key = jax.random.PRNGKey(seed)
+    params = tsp.tsp_init(key, cfg.model)
+    opt_state = make_optimizer(cfg).init(params)
+    start_epoch = 0
+    step = 0
+
+    latest = ckpt.latest_checkpoint(ckpt_dir) if cfg.train.resume else None
+    if latest:
+        state = ckpt.load_checkpoint(latest)
+        params, opt_state = state["params"], state["opt_state"]
+        start_epoch, step = state["epoch"] + 1, state["step"]
+        logger.log(event="resume", checkpoint=latest, epoch=start_epoch)
+
+    cur = Curriculum(cfg, ramp_epochs=curriculum_ramp)
+    file_loader = None
+    if data_path is not None:
+        from tsp_gnn_tpu.data.loader import InstanceLoader
+        file_loader = InstanceLoader(data_path, deviation=cfg.data.deviation,
+                                     pad_n=cfg.data.pad_n or cfg.data.n_max,
+                                     shuffle_seed=seed)
+    # fixed held-out eval set at the full difficulty
+    d = cfg.data
+    eval_rng = np.random.default_rng(seed + 10_000)
+    eval_insts = [generator.generate_instance(
+        eval_rng, int(eval_rng.integers(d.n_min, d.n_max + 1)), d.solver,
+        d.two_opt_restarts) for _ in range(eval_instances)]
+    eval_batch = device_batch(make_dense_batch(
+        eval_insts, d.deviation, d.pad_n or d.n_max))
+
+    final = {}
+    for epoch in range(start_epoch, epochs):
+        if file_loader is not None:
+            stream = iter(file_loader.get_batches(cfg.data.batch_size))
+        else:
+            stream = batch_stream(cfg, seed + epoch, cur, epoch)
+        t_epoch = time.time()
+        edge_updates = 0
+        losses, accs = [], []
+        for _ in range(cfg.train.batches_per_epoch):
+            try:
+                batch = next(stream)
+            except StopIteration:  # file loader exhausted: reshuffle + cycle
+                stream = iter(file_loader.get_batches(cfg.data.batch_size))
+                batch = next(stream)
+            edge_updates += edges_per_step(batch, cfg.model.tmax)
+            jb = device_batch(batch)
+            params, opt_state, m = train_step(params, opt_state, jb, cfg)
+            losses.append(float(m["loss"]))
+            accs.append(float(m["accuracy"]))
+            step += 1
+        dt = time.time() - t_epoch
+        em = eval_step(params, eval_batch, cfg)
+        final = logger.log(
+            event="epoch", epoch=epoch, step=step,
+            train_loss=float(np.mean(losses)), train_acc=float(np.mean(accs)),
+            eval_loss=float(em["loss"]), eval_acc=float(em["accuracy"]),
+            edges_per_s=edge_updates / dt, epoch_s=dt,
+            **cur.state(epoch))
+        if (epoch + 1) % cfg.train.checkpoint_every == 0:
+            ckpt.save_checkpoint(
+                os.path.join(ckpt_dir, f"ckpt_{epoch}.pkl"),
+                {"params": params, "opt_state": opt_state, "epoch": epoch,
+                 "step": step, "seed": seed,
+                 "curriculum": cur.state(epoch)})
+    logger.close()
+    return {"params": params, "opt_state": opt_state, "metrics": final}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train decision-TSP typed-GNN")
+    p.add_argument("--preset", default="pr1", help="config preset name")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--curriculum-ramp", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--tmax", type=int, default=None)
+    p.add_argument("--data-path", default=None,
+                   help="directory of npz shards / .graph files; "
+                        "default: generate instances on the fly")
+    args = p.parse_args(argv)
+    cfg = get_config(args.preset)
+    if args.batch_size:
+        import dataclasses
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   batch_size=args.batch_size))
+    if args.tmax:
+        import dataclasses
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
+    train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
+          curriculum_ramp=args.curriculum_ramp, data_path=args.data_path)
+
+
+if __name__ == "__main__":
+    main()

