@@ -47,10 +47,14 @@ def main():
     jax.block_until_ready(m["loss"])
 
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # block EVERY step: on the axon backend a block on the final loss of a
+    # donated chain does not reliably wait for the whole chain, which
+    # produced a ~100x-inflated first measurement.  Per-step sync is the
+    # honest number.
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, m = tr.train_step(params, opt_state, jb, cfg)
-    jax.block_until_ready(m["loss"])
+        jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
 
     edge_updates = int(batch["n_edges"].sum()) * cfg.model.tmax * steps

@@ -126,8 +126,35 @@ void or_opt(const double* d, int n, std::vector<int>& t) {
 
 }  // namespace
 
+// Double-bridge 4-opt kick: the classic ILS perturbation (cannot be undone
+// by 2-opt in one move, so it escapes 2-opt local optima).
+std::vector<int> double_bridge(const std::vector<int>& t, Rng& rng) {
+  const int n = static_cast<int>(t.size());
+  if (n < 8) return t;
+  int p1 = 1 + rng.uniform(n - 3);
+  int p2 = p1 + 1 + rng.uniform(n - p1 - 2);
+  int p3 = p2 + 1 + rng.uniform(n - p2 - 1);
+  std::vector<int> out;
+  out.reserve(n);
+  out.insert(out.end(), t.begin(), t.begin() + p1);
+  out.insert(out.end(), t.begin() + p3, t.end());
+  out.insert(out.end(), t.begin() + p2, t.begin() + p3);
+  out.insert(out.end(), t.begin() + p1, t.begin() + p2);
+  return out;
+}
+
+void local_opt(const double* d, int n, std::vector<int>& t) {
+  two_opt(d, n, t);
+  or_opt(d, n, t);
+  two_opt(d, n, t);
+}
+
 extern "C" {
 
+// Iterated local search: `restarts` NN multi-starts, each followed by
+// `8 * restarts + 2 * n` double-bridge kicks accepted on improvement.
+// Near-optimal labels (gap ~0 at n<=40; validated against Held-Karp in
+// tests/test_data.py) — the Concorde-replacement quality knob.
 double tsp_solve(const double* dist, int n, int restarts, uint64_t seed,
                  int* out_tour) {
   if (n <= 1) {
@@ -138,13 +165,21 @@ double tsp_solve(const double* dist, int n, int restarts, uint64_t seed,
   double best = 1e300;
   std::vector<int> best_tour;
   if (restarts < 1) restarts = 1;
+  const int kicks = 8 * restarts + 2 * n;
   for (int r = 0; r < restarts; ++r) {
     int start = (r == 0) ? 0 : rng.uniform(n);
     std::vector<int> t = nearest_neighbor(dist, n, start);
-    two_opt(dist, n, t);
-    or_opt(dist, n, t);
-    two_opt(dist, n, t);
+    local_opt(dist, n, t);
     double c = tour_cost(dist, n, t);
+    for (int k = 0; k < kicks; ++k) {
+      std::vector<int> cand = double_bridge(t, rng);
+      local_opt(dist, n, cand);
+      double cc = tour_cost(dist, n, cand);
+      if (cc < c - 1e-12) {
+        t.swap(cand);
+        c = cc;
+      }
+    }
     if (c < best) {
       best = c;
       best_tour = t;

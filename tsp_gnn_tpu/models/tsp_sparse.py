@@ -1,0 +1,189 @@
+"""Decision-TSP forward on the block-diagonal sparse layout (Pallas path).
+
+Semantically identical to models/tsp.py (the dense padded path) — same
+parameters, same equations, per-iteration allclose (tests/test_sparse_path.py)
+— but operating on the UniformBlockGraph mega-batch with flat [N, d] vertex
+and [M, d] edge tensors and Pallas incidence-SpMM kernels (ops/spmm.py).
+
+This is the layout that scales: the edge axis is what gets partitioned across
+the `graph` mesh axis (SURVEY §2.2 — the sequence-parallel analogue), and the
+fused kernels keep the hot loop MXU-resident [B:L5].
+
+Autodiff: the two incidence aggregations are transposes of each other, so
+each kernel's VJP is the other kernel — wired via jax.custom_vjp below.  Mask
+and index inputs are treated as constants (zero cotangents).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsp_gnn_tpu.config import KernelConfig, ModelConfig
+from tsp_gnn_tpu.models import cells, mlp
+from tsp_gnn_tpu.ops import spmm
+from tsp_gnn_tpu.ops.layout import UniformBlockGraph
+
+
+def make_incidence_ops(v_pad: int, m_pad: int, num_problems: int,
+                       use_pallas: bool = True, tile_e: int = 512,
+                       interpret: bool = False):
+    """Returns (e_from_v, v_from_e) closures with custom VJPs.
+
+    d/dx_v [ (S+T) @ x_v ] . g  =  (S+T)^T @ g   — i.e. the other kernel.
+    """
+    kw = dict(v_pad=v_pad, m_pad=m_pad)
+    if use_pallas:
+        _efv = functools.partial(spmm.e_from_v, tile_e=tile_e,
+                                 interpret=interpret, **kw)
+        _vfe = functools.partial(spmm.v_from_e, tile_e=tile_e,
+                                 interpret=interpret,
+                                 num_problems=num_problems, **kw)
+    else:
+        _efv = functools.partial(spmm.e_from_v_ref, **kw)
+        _vfe = functools.partial(spmm.v_from_e_ref,
+                                 num_problems=num_problems, **kw)
+
+    @jax.custom_vjp
+    def e_from_v(src2, tgt2, em2, x_v):
+        return _efv(src2, tgt2, em2, x_v)
+
+    def efv_fwd(src2, tgt2, em2, x_v):
+        return _efv(src2, tgt2, em2, x_v), (src2, tgt2, em2)
+
+    def efv_bwd(res, g):
+        src2, tgt2, em2 = res
+        return None, None, None, _vfe(src2, tgt2, em2, g)
+
+    e_from_v.defvjp(efv_fwd, efv_bwd)
+
+    @jax.custom_vjp
+    def v_from_e(src2, tgt2, em2, x_e):
+        return _vfe(src2, tgt2, em2, x_e)
+
+    def vfe_fwd(src2, tgt2, em2, x_e):
+        return _vfe(src2, tgt2, em2, x_e), (src2, tgt2, em2)
+
+    def vfe_bwd(res, g):
+        src2, tgt2, em2 = res
+        return None, None, None, _efv(src2, tgt2, em2, g)
+
+    v_from_e.defvjp(vfe_fwd, vfe_bwd)
+    return e_from_v, v_from_e
+
+
+def block_batch_arrays(g: UniformBlockGraph) -> Dict[str, np.ndarray]:
+    """UniformBlockGraph -> feed dict.
+
+    Indices/edge-validity for the kernels are LANE-MAJOR [M/128, 128]
+    (src2/tgt2/em2 — see ops/spmm.py layout notes); per-edge feature columns
+    stay [M, 1]."""
+    col = lambda a: np.asarray(a).reshape(-1, 1)
+    lane = lambda a: np.asarray(a).reshape(-1, 128)
+    return {
+        "src2": lane(g.src).astype(np.int32),
+        "tgt2": lane(g.tgt).astype(np.int32),
+        "em2": lane(g.edge_mask).astype(np.float32),
+        "edge_mask": col(g.edge_mask).astype(np.float32),
+        "vert_mask": col(g.vert_mask).astype(np.float32),
+        "W": col(g.W).astype(np.float32),
+        "C": col(g.C).astype(np.float32),
+        "labels": np.asarray(g.labels, np.float32),
+        "n_edges": np.asarray(g.n_edges, np.int32),
+        "n_vertices": np.asarray(g.n_vertices, np.int32),
+    }
+
+
+def forward_sparse(
+    params: dict,
+    batch: Dict[str, jnp.ndarray],
+    cfg: ModelConfig,
+    *,
+    v_pad: int,
+    m_pad: int,
+    tmax: Optional[int] = None,
+    use_pallas: bool = True,
+    tile_e: int = 512,
+    interpret: bool = False,
+    return_trajectory: bool = False,
+):
+    """Sparse-path forward -> per-problem logits [B].
+
+    batch arrays per block_batch_arrays; params identical to models/tsp.py.
+    """
+    tmax = cfg.tmax if tmax is None else tmax
+    B = batch["labels"].shape[0]
+    src2, tgt2, em2 = batch["src2"], batch["tgt2"], batch["em2"]
+    em, vm = batch["edge_mask"], batch["vert_mask"]
+    e_from_v, v_from_e = make_incidence_ops(
+        v_pad, m_pad, B, use_pallas=use_pallas, tile_e=tile_e,
+        interpret=interpret)
+
+    cell_act = cells.get_activation(cfg.cell_activation)
+    msg_act = cells.get_activation(cfg.msg_activation)
+    d = params["v_init"].shape[0]
+    N, M = B * v_pad, B * m_pad
+
+    h_v = jnp.broadcast_to(params["v_init"][None, :], (N, d))
+    wc = jnp.concatenate([batch["W"], batch["C"]], axis=-1)
+    h_e = mlp.mlp_apply(params["e_init"], wc) * em
+    state = {"V": (jnp.zeros((N, d), h_v.dtype), h_v),
+             "E": (jnp.zeros((M, d), h_e.dtype), h_e)}
+    gnn = params["gnn"]
+
+    def step(state):
+        (c_v, h_v), (c_e, h_e) = state["V"], state["E"]
+        msg_v = mlp.mlp_apply(gnn["msgs"]["V_msg_E"], h_v * vm,
+                              hidden_activation=msg_act) * vm
+        msg_e = mlp.mlp_apply(gnn["msgs"]["E_msg_V"], h_e * em,
+                              hidden_activation=msg_act) * em
+        agg_e = e_from_v(src2, tgt2, em2, msg_v)
+        agg_v = v_from_e(src2, tgt2, em2, msg_e)
+        e_in = (jnp.concatenate([agg_e, batch["W"], batch["C"]], axis=-1)
+                if cfg.feed_wc_each_step else agg_e)
+        _, new_v = cells.lstm_apply(gnn["cells"]["V"], agg_v, (c_v, h_v),
+                                    activation=cell_act,
+                                    forget_bias=cfg.forget_bias,
+                                    ln_eps=cfg.ln_eps)
+        _, new_e = cells.lstm_apply(gnn["cells"]["E"], e_in, (c_e, h_e),
+                                    activation=cell_act,
+                                    forget_bias=cfg.forget_bias,
+                                    ln_eps=cfg.ln_eps)
+        return {"V": new_v, "E": new_e}
+
+    if cfg.remat:
+        step = jax.checkpoint(step)
+
+    def body(carry, _):
+        nxt = step(carry)
+        ys = ({"V": nxt["V"][1], "E": nxt["E"][1]}
+              if return_trajectory else None)
+        return nxt, ys
+
+    final, traj = jax.lax.scan(body, state, None, length=tmax)
+    h_e = final["E"][1]
+    votes = mlp.mlp_apply(params["vote"], h_e) * em          # [M, 1]
+    sums = votes.reshape(B, m_pad).sum(-1)
+    cnt = jnp.maximum(em.reshape(B, m_pad).sum(-1), 1.0)
+    logits = sums / cnt
+    if return_trajectory:
+        return logits, traj
+    return logits
+
+
+def loss_fn_sparse(params, batch, cfg: ModelConfig, *, v_pad: int,
+                   m_pad: int, tmax: Optional[int] = None,
+                   use_pallas: bool = True, tile_e: int = 512,
+                   interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+    logits = forward_sparse(params, batch, cfg, v_pad=v_pad, m_pad=m_pad,
+                            tmax=tmax, use_pallas=use_pallas, tile_e=tile_e,
+                            interpret=interpret)
+    labels = batch["labels"].astype(logits.dtype)
+    loss = jnp.mean(jnp.maximum(logits, 0) - logits * labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    acc = jnp.mean(((logits > 0).astype(logits.dtype) == labels)
+                   .astype(logits.dtype))
+    return loss, {"loss": loss, "accuracy": acc, "logits": logits}

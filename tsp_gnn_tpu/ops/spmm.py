@@ -1,0 +1,273 @@
+"""Pallas TPU kernels: incidence SpMM (both directions), SDDMM, segment sum.
+
+These are the sparse-aggregation kernels mandated by BASELINE.json ("sparse
+gather/scatter SpMM/SDDMM ... CSR/ELL tiles for MXU"), designed TPU-first
+rather than ported: instead of scalar gather/scatter (VPU-bound, slow on
+TPU), each 128-edge row materialises its slice of the incidence matrix as an
+on-the-fly TRANSPOSED one-hot tile and rides the MXU:
+
+    oh_t[v, e] = [src[e] == v] + [tgt[e] == v]          (built on the VPU)
+    e_from_v:  out[e_tile] = oh_t^T @ x_window           (dot_general)
+    v_from_e:  out[v_window] += oh_t @ x[e_tile]         (accumulated)
+    sddmm:     out[e] = <x[src[e]], x[tgt[e]]>
+
+Layout notes (the performance-critical part):
+  * endpoint indices and edge masks are stored LANE-MAJOR as [M//128, 128]
+    int32/f32 — a [M, 1] column layout costs 128x the bandwidth because
+    Mosaic pads the lane dimension to 128;
+  * the transposed one-hot is built by comparing a sublane iota [v_pad, 128]
+    against an index row broadcast across sublanes — no relayout anywhere;
+  * the uniform block-diagonal layout (ops/layout.py UniformBlockGraph) makes
+    tile geometry static: edge tile t belongs to problem t*TILE_E//m_pad and
+    only touches that problem's v_pad vertex rows, so BlockSpec index maps
+    express the whole sparsity pattern and v_from_e accumulates over
+    consecutive output revisits in VMEM.
+
+Reference parity: these replace tf.sparse_tensor_dense_matmul in the
+reference's message-passing loop [SURVEY §2.3 step 3, §3.2 hot loop].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _pick_tile_e(m_pad: int, tile_e: int, interpret: bool) -> int:
+    while m_pad % tile_e:
+        tile_e //= 2
+    assert tile_e >= TILE, f"m_pad={m_pad} must be a multiple of {TILE}"
+    if not interpret and tile_e < 8 * TILE:
+        raise ValueError(
+            f"m_pad={m_pad} must be a multiple of 1024 for compiled TPU "
+            f"kernels (index blocks need 8 sublane rows; build the layout "
+            f"with edge_align=1024)")
+    return tile_e
+
+
+def _oh_t(src_row, tgt_row, em_row, v_pad: int, dtype):
+    """Transposed one-hot [v_pad, 128] for one 128-edge row."""
+    vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
+    oh = ((vid == src_row[None, :]).astype(dtype)
+          + (vid == tgt_row[None, :]).astype(dtype))
+    return oh * em_row[None, :].astype(dtype)
+
+
+# ---------------------------------------------------------------- e_from_v
+
+def _e_from_v_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
+                     v_pad, rows):
+    x = xv_ref[:]
+    outs = []
+    for r in range(rows):
+        oh = _oh_t(src_ref[r, :], tgt_ref[r, :], em_ref[r, :], v_pad, x.dtype)
+        outs.append(jax.lax.dot_general(
+            oh, x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))          # [128, d]
+    out_ref[:] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+
+
+def e_from_v(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
+             tile_e: int = 1024, interpret: bool = False):
+    """out[e] = x_v[prob(e)*v_pad + src[e]] + x_v[prob(e)*v_pad + tgt[e]].
+
+    src2/tgt2/em2: [M//128, 128] lane-major; x_v: [B*v_pad, d]; out: [M, d].
+    """
+    d = x_v.shape[-1]
+    M = src2.shape[0] * TILE
+    tile_e = _pick_tile_e(m_pad, tile_e, interpret)
+    rows = tile_e // TILE
+    grid = (M // tile_e,)
+    prob = lambda i: (i * tile_e) // m_pad
+    idx_spec = pl.BlockSpec((rows, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_e_from_v_kernel, v_pad=v_pad, rows=rows),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec,
+                  pl.BlockSpec((v_pad, d), lambda i: (prob(i), 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_e, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, d), x_v.dtype),
+        interpret=interpret,
+    )(src2, tgt2, em2, x_v)
+
+
+# ---------------------------------------------------------------- v_from_e
+
+def _v_from_e_kernel(src_ref, tgt_ref, em_ref, xe_ref, out_ref, *,
+                     v_pad, rows, tiles_per_prob):
+    i = pl.program_id(0)
+
+    @pl.when(i % tiles_per_prob == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for r in range(rows):
+        oh = _oh_t(src_ref[r, :], tgt_ref[r, :], em_ref[r, :], v_pad,
+                   xe_ref.dtype)
+        acc += jax.lax.dot_general(
+            oh, xe_ref[r * TILE:(r + 1) * TILE, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [v_pad, d]
+    out_ref[:] += acc.astype(out_ref.dtype)
+
+
+def v_from_e(src2, tgt2, em2, x_e, *, v_pad: int, m_pad: int,
+             num_problems: int, tile_e: int = 1024, interpret: bool = False):
+    """out[v] = sum of x_e over edges incident to v (block-diagonal scatter).
+
+    x_e: [M, d]; out: [B*v_pad, d].  Output blocks are revisited consecutively
+    by the edge tiles of each problem and accumulated in VMEM.
+    """
+    d = x_e.shape[-1]
+    M = src2.shape[0] * TILE
+    tile_e = _pick_tile_e(m_pad, tile_e, interpret)
+    rows = tile_e // TILE
+    tiles_per_prob = m_pad // tile_e
+    grid = (M // tile_e,)
+    prob = lambda i: (i * tile_e) // m_pad
+    idx_spec = pl.BlockSpec((rows, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_v_from_e_kernel, v_pad=v_pad, rows=rows,
+                          tiles_per_prob=tiles_per_prob),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec,
+                  pl.BlockSpec((tile_e, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((v_pad, d), lambda i: (prob(i), 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_problems * v_pad, d), x_e.dtype),
+        interpret=interpret,
+    )(src2, tgt2, em2, x_e)
+
+
+# ------------------------------------------------------------------- sddmm
+
+def _sddmm_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
+                  v_pad, rows):
+    x = xv_ref[:]
+    dn = (((0,), (0,)), ((), ()))
+    vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
+    for r in range(rows):
+        oh_s = (vid == src_ref[r, :][None, :]).astype(x.dtype)
+        oh_t = (vid == tgt_ref[r, :][None, :]).astype(x.dtype)
+        a = jax.lax.dot_general(oh_s, x, dn,
+                                preferred_element_type=jnp.float32)
+        b = jax.lax.dot_general(oh_t, x, dn,
+                                preferred_element_type=jnp.float32)
+        # [128, d] -> per-edge dot; relayout sublane vector to lane row
+        dot = jnp.sum(a * b, axis=-1).astype(out_ref.dtype)  # [128]
+        out_ref[r, :] = dot * em_ref[r, :].astype(out_ref.dtype)
+
+
+def sddmm(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
+          tile_e: int = 1024, interpret: bool = False):
+    """out2[e] = <x_v[src[e]], x_v[tgt[e]]>, lane-major [M//128, 128]."""
+    M = src2.shape[0] * TILE
+    tile_e = _pick_tile_e(m_pad, tile_e, interpret)
+    rows = tile_e // TILE
+    grid = (M // tile_e,)
+    prob = lambda i: (i * tile_e) // m_pad
+    idx_spec = pl.BlockSpec((rows, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_sddmm_kernel, v_pad=v_pad, rows=rows),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec,
+                  pl.BlockSpec((v_pad, x_v.shape[-1]),
+                               lambda i: (prob(i), 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=idx_spec,
+        out_shape=jax.ShapeDtypeStruct((M // TILE, TILE), x_v.dtype),
+        interpret=interpret,
+    )(src2, tgt2, em2, x_v)
+
+
+# ------------------------------------------------------------- segment sum
+
+def _segsum_kernel(x_ref, em_ref, out_ref, *, rows_per_prob, probs):
+    x = x_ref[:] * em_ref[:]
+    xs = x.reshape(probs, rows_per_prob * TILE)
+    ms = em_ref[:].reshape(probs, rows_per_prob * TILE)
+    out_ref[:] = jnp.stack([jnp.sum(xs, axis=1), jnp.sum(ms, axis=1)],
+                           axis=-1)
+
+
+_SEG_GROUP = 8  # problems per grid step (sublane-aligned output block)
+
+
+def segment_sum_per_problem(x2, em2, *, m_pad: int, num_problems: int,
+                            interpret: bool = False):
+    """Per-problem (sum, count) of a lane-major per-edge scalar [M//128, 128]
+    -> [B, 2] (the readout segment-reduce).  Falls back to the jnp reference
+    when B is not a multiple of the sublane group."""
+    if num_problems % _SEG_GROUP:
+        return segment_sum_ref(x2, em2, m_pad=m_pad,
+                               num_problems=num_problems)
+    rows_per_prob = m_pad // TILE
+    grid = (num_problems // _SEG_GROUP,)
+    blk = pl.BlockSpec((_SEG_GROUP * rows_per_prob, TILE),
+                       lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_segsum_kernel, rows_per_prob=rows_per_prob,
+                          probs=_SEG_GROUP),
+        grid=grid,
+        in_specs=[blk, blk],
+        out_specs=pl.BlockSpec((_SEG_GROUP, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_problems, 2), x2.dtype),
+        interpret=interpret,
+    )(x2, em2)
+
+
+# -------------------------------------------------- jnp reference versions
+# (also the CPU fallbacks; lane-major index layout shared with the kernels)
+
+def _flat(a2):
+    return a2.reshape(-1)
+
+
+def e_from_v_ref(src2, tgt2, em2, x_v, *, v_pad, m_pad):
+    src, tgt, em = _flat(src2), _flat(tgt2), _flat(em2)
+    M = src.shape[0]
+    prob = jnp.arange(M) // m_pad
+    gs = x_v[prob * v_pad + src]
+    gt = x_v[prob * v_pad + tgt]
+    return (gs + gt) * em[:, None]
+
+
+def v_from_e_ref(src2, tgt2, em2, x_e, *, v_pad, m_pad, num_problems):
+    src, tgt, em = _flat(src2), _flat(tgt2), _flat(em2)
+    M = src.shape[0]
+    prob = jnp.arange(M) // m_pad
+    out = jnp.zeros((num_problems * v_pad, x_e.shape[-1]), x_e.dtype)
+    xm = x_e * em[:, None]
+    out = out.at[prob * v_pad + src].add(xm)
+    out = out.at[prob * v_pad + tgt].add(xm)
+    return out
+
+
+def sddmm_ref(src2, tgt2, em2, x_v, *, v_pad, m_pad):
+    src, tgt, em = _flat(src2), _flat(tgt2), _flat(em2)
+    M = src.shape[0]
+    prob = jnp.arange(M) // m_pad
+    gs = x_v[prob * v_pad + src]
+    gt = x_v[prob * v_pad + tgt]
+    out = jnp.sum(gs * gt, axis=-1) * em
+    return out.reshape(src2.shape)
+
+
+def segment_sum_ref(x2, em2, *, m_pad, num_problems):
+    xs = (_flat(x2) * _flat(em2)).reshape(num_problems, m_pad)
+    ms = _flat(em2).reshape(num_problems, m_pad)
+    return jnp.stack([xs.sum(-1), ms.sum(-1)], axis=-1)

@@ -1,3 +1,223 @@
-"""Edge-partition + halo exchange (graph axis). Placeholder — PR5 fills this
-with the shard_map all_to_all path and the Pallas remote-DMA overlap."""
-AVAILABLE = False
+"""Edge-partitioned message passing over the (data, graph) mesh.
+
+The distribution layer mandated by BASELINE.json [B:L5, B:L11] — the
+reference has NO parallelism of any kind (SURVEY §2.2); this is a designed
+component, not a port:
+
+  * `data` axis: problems of the block-diagonal mega-batch are independent —
+    plain data parallelism (batch dim sharded, params replicated).
+  * `graph` axis: each problem's EDGE set is partitioned across chips (the
+    sequence-parallel analogue — the edge axis is the long axis: n=200 =>
+    19,900 edges/problem).  Vertex state (n per problem, tiny vs edges) is
+    replicated within the graph axis; each shard aggregates its local edges'
+    contributions and the per-iteration halo exchange is ONE psum of partial
+    vertex aggregates over ICI.  For complete TSP graphs every edge partition
+    touches every vertex, so the general scatter/gather halo degenerates to
+    exactly this all-reduce — the optimal collective for this topology (XLA
+    lowers psum to an ICI all-reduce, bandwidth-optimal ring on v5e).
+
+The Pallas incidence kernels run UNCHANGED on each local shard: uniform
+per-problem padding means a local edge shard is itself a uniform block graph
+with m_pad_local = m_pad / graph_axis_size.
+
+Autodiff: shard_map is differentiable; the psum transposes to an identity
+broadcast and the replicated-param gradients get psum'd automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tsp_gnn_tpu.config import ModelConfig
+from tsp_gnn_tpu.models import cells, mlp
+from tsp_gnn_tpu.models.tsp_sparse import make_incidence_ops
+from tsp_gnn_tpu.ops.layout import UniformBlockGraph
+
+AVAILABLE = True
+
+
+def shard_batch_arrays(g: UniformBlockGraph) -> Dict[str, np.ndarray]:
+    """UniformBlockGraph -> [B, m_pad, *] / [B, v_pad, *] arrays for the mesh.
+
+    Edge arrays are [B, m_pad, 1] (sharded P('data','graph',None)); vertex
+    arrays [B, v_pad, 1] (P('data', None, None)); labels [B] (P('data'),).
+    """
+    B, m_pad, v_pad = g.num_problems, g.m_pad, g.v_pad
+    e = lambda a: np.asarray(a).reshape(B, m_pad, 1)
+    lane = lambda a: np.asarray(a).reshape(B, m_pad // 128, 128)
+    v = lambda a: np.asarray(a).reshape(B, v_pad, 1)
+    return {
+        "src2": lane(g.src).astype(np.int32),
+        "tgt2": lane(g.tgt).astype(np.int32),
+        "em2": lane(g.edge_mask).astype(np.float32),
+        "edge_mask": e(g.edge_mask).astype(np.float32),
+        "W": e(g.W).astype(np.float32),
+        "C": e(g.C).astype(np.float32),
+        "vert_mask": v(g.vert_mask).astype(np.float32),
+        "labels": np.asarray(g.labels, np.float32),
+        "n_edges": np.asarray(g.n_edges, np.int32),
+        "n_vertices": np.asarray(g.n_vertices, np.int32),
+    }
+
+
+def batch_specs() -> Dict[str, P]:
+    return {
+        "src2": P("data", "graph", None),
+        "tgt2": P("data", "graph", None),
+        "em2": P("data", "graph", None),
+        "edge_mask": P("data", "graph", None),
+        "W": P("data", "graph", None),
+        "C": P("data", "graph", None),
+        "vert_mask": P("data", None, None),
+        "labels": P("data"),
+        "n_edges": P("data"),
+        "n_vertices": P("data"),
+    }
+
+
+def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
+                   m_pad_local: int, tmax: int, use_pallas: bool,
+                   tile_e: int, interpret: bool):
+    """Forward on one shard: b_local problems x m_pad_local edges.
+
+    Returns per-problem (vote_sum, vote_cnt) partials [b_local] — caller
+    psums over 'graph'.
+    """
+    b = batch["labels"].shape[0]
+    flat_e = lambda a: a.reshape(b * m_pad_local, 1)
+    lane = lambda a: a.reshape(b * (m_pad_local // 128), 128)
+    src2, tgt2 = lane(batch["src2"]), lane(batch["tgt2"])
+    em2 = lane(batch["em2"])
+    em = flat_e(batch["edge_mask"])
+    W, C = flat_e(batch["W"]), flat_e(batch["C"])
+    vm = batch["vert_mask"].reshape(b * v_pad, 1)
+
+    e_from_v, v_from_e = make_incidence_ops(
+        v_pad, m_pad_local, b, use_pallas=use_pallas, tile_e=tile_e,
+        interpret=interpret)
+
+    cell_act = cells.get_activation(cfg.cell_activation)
+    msg_act = cells.get_activation(cfg.msg_activation)
+    d = params["v_init"].shape[0]
+    N, M = b * v_pad, b * m_pad_local
+    gnn = params["gnn"]
+
+    h_v = jnp.broadcast_to(params["v_init"][None, :], (N, d))
+    wc = jnp.concatenate([W, C], axis=-1)
+    h_e = mlp.mlp_apply(params["e_init"], wc) * em
+    state = {"V": (jnp.zeros((N, d), h_v.dtype), h_v),
+             "E": (jnp.zeros((M, d), h_e.dtype), h_e)}
+
+    def step(state):
+        (c_v, h_v), (c_e, h_e) = state["V"], state["E"]
+        msg_v = mlp.mlp_apply(gnn["msgs"]["V_msg_E"], h_v * vm,
+                              hidden_activation=msg_act) * vm
+        msg_e = mlp.mlp_apply(gnn["msgs"]["E_msg_V"], h_e * em,
+                              hidden_activation=msg_act) * em
+        agg_e = e_from_v(src2, tgt2, em2, msg_v)               # local only
+        agg_v_partial = v_from_e(src2, tgt2, em2, msg_e)       # local edges
+        # halo exchange: all-reduce partial vertex aggregates over the
+        # edge-partition axis (the complete-graph halo is all vertices)
+        agg_v = jax.lax.psum(agg_v_partial, "graph")
+        e_in = (jnp.concatenate([agg_e, W, C], axis=-1)
+                if cfg.feed_wc_each_step else agg_e)
+        _, new_v = cells.lstm_apply(gnn["cells"]["V"], agg_v, (c_v, h_v),
+                                    activation=cell_act,
+                                    forget_bias=cfg.forget_bias,
+                                    ln_eps=cfg.ln_eps)
+        _, new_e = cells.lstm_apply(gnn["cells"]["E"], e_in, (c_e, h_e),
+                                    activation=cell_act,
+                                    forget_bias=cfg.forget_bias,
+                                    ln_eps=cfg.ln_eps)
+        return {"V": new_v, "E": new_e}
+
+    if cfg.remat:
+        step = jax.checkpoint(step)
+
+    final = jax.lax.scan(lambda s, _: (step(s), None), state, None,
+                         length=tmax)[0]
+    votes = mlp.mlp_apply(params["vote"], final["E"][1]) * em
+    sums = votes.reshape(b, m_pad_local).sum(-1)
+    cnts = em.reshape(b, m_pad_local).sum(-1)
+    return sums, cnts
+
+
+def make_sharded_loss(cfg: ModelConfig, mesh: Mesh, *, v_pad: int,
+                      m_pad: int, tmax: Optional[int] = None,
+                      use_pallas: bool = False, tile_e: int = 512,
+                      interpret: bool = False):
+    """Returns loss_fn(params, batch)->(loss, aux) shard_mapped over mesh.
+
+    batch: shard_batch_arrays layout.  Params replicated.
+    """
+    tmax = tmax or cfg.tmax
+    gsize = mesh.shape["graph"]
+    assert m_pad % gsize == 0 and (m_pad // gsize) % 128 == 0, (
+        f"m_pad={m_pad} not partitionable over graph={gsize}")
+    m_pad_local = m_pad // gsize
+
+    def local_loss(params, batch):
+        sums, cnts = _local_forward(
+            params, batch, cfg, v_pad=v_pad, m_pad_local=m_pad_local,
+            tmax=tmax, use_pallas=use_pallas, tile_e=tile_e,
+            interpret=interpret)
+        sums = jax.lax.psum(sums, "graph")                 # halo'd readout
+        cnts = jax.lax.psum(cnts, "graph")
+        logits = sums / jnp.maximum(cnts, 1.0)
+        labels = batch["labels"].astype(logits.dtype)
+        loss_vec = (jnp.maximum(logits, 0) - logits * labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        acc_vec = ((logits > 0).astype(logits.dtype) == labels)
+        loss = jax.lax.pmean(jnp.mean(loss_vec), "data")
+        acc = jax.lax.pmean(jnp.mean(acc_vec.astype(logits.dtype)), "data")
+        return loss, {"loss": loss, "accuracy": acc}
+
+    specs = batch_specs()
+    sharded = jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), {k: specs[k] for k in specs}),
+        out_specs=(P(), {"loss": P(), "accuracy": P()}),
+        check_vma=False,
+    )
+    return sharded
+
+
+def dryrun(mesh: Mesh, cfg=None) -> None:
+    """One sharded loss+grad step on tiny shapes (driver validation path)."""
+    import dataclasses
+
+    from tsp_gnn_tpu.config import get_config
+    from tsp_gnn_tpu.data import generator
+    from tsp_gnn_tpu.models import tsp
+    from tsp_gnn_tpu.ops.layout import build_uniform_block_graph
+
+    cfg = cfg or get_config("multihost")
+    mcfg = dataclasses.replace(cfg.model, tmax=3, d=16)
+    dp = mesh.shape["data"]
+    rng = np.random.default_rng(0)
+    insts = [generator.generate_instance(rng, 12, "two_opt", 1)
+             for _ in range(dp)]
+    g = build_uniform_block_graph(insts, 0.02, pad_n=12)
+    gsize = mesh.shape["graph"]
+    # ensure partitionability: pad edge dim so m_pad/graph is a tile multiple
+    from tsp_gnn_tpu.ops.layout import pad_uniform_edges
+    m_new = int(np.ceil(g.m_pad / (gsize * 128))) * gsize * 128
+    g = pad_uniform_edges(g, m_new)
+    batch = shard_batch_arrays(g)
+    params = tsp.tsp_init(jax.random.PRNGKey(0), mcfg)
+    loss_fn = make_sharded_loss(mcfg, mesh, v_pad=g.v_pad, m_pad=g.m_pad)
+    specs = batch_specs()
+    jb = {k: jax.device_put(jnp.asarray(v),
+                            NamedSharding(mesh, specs[k]))
+          for k, v in batch.items()}
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    loss, aux = jax.jit(loss_fn)(params, jb)
+    grads = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)[0]))(params, jb)
+    jax.block_until_ready(grads)
+    print(f"halo dryrun: mesh={dict(mesh.shape)} loss={float(loss):.4f} "
+          f"grad ok")

@@ -115,7 +115,8 @@ def device_batch(batch: Dict[str, np.ndarray], dtype=jnp.float32):
 
 def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
           log_dir: Optional[str] = None, curriculum_ramp: int = 0,
-          eval_instances: int = 64, data_path: Optional[str] = None) -> dict:
+          eval_instances: int = 64, data_path: Optional[str] = None,
+          dev_start: Optional[float] = None) -> dict:
     """data_path: directory of npz shards / .graph files (reference-style
     pre-generated training set); None = on-the-fly generation."""
     epochs = epochs if epochs is not None else cfg.train.epochs
@@ -136,7 +137,7 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
         start_epoch, step = state["epoch"] + 1, state["step"]
         logger.log(event="resume", checkpoint=latest, epoch=start_epoch)
 
-    cur = Curriculum(cfg, ramp_epochs=curriculum_ramp)
+    cur = Curriculum(cfg, ramp_epochs=curriculum_ramp, dev_start=dev_start)
     file_loader = None
     if data_path is not None:
         from tsp_gnn_tpu.data.loader import InstanceLoader
@@ -155,6 +156,8 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
     final = {}
     for epoch in range(start_epoch, epochs):
         if file_loader is not None:
+            # curriculum over deviation applies to file batches too [B:L8]
+            file_loader.deviation = cur.at_epoch(epoch)[2]
             stream = iter(file_loader.get_batches(cfg.data.batch_size))
         else:
             stream = batch_stream(cfg, seed + epoch, cur, epoch)
@@ -203,6 +206,9 @@ def main(argv=None):
     p.add_argument("--data-path", default=None,
                    help="directory of npz shards / .graph files; "
                         "default: generate instances on the fly")
+    p.add_argument("--dev-start", type=float, default=None,
+                   help="curriculum: initial deviation, annealed to the "
+                        "config deviation over --curriculum-ramp epochs")
     args = p.parse_args(argv)
     cfg = get_config(args.preset)
     if args.batch_size:
@@ -213,7 +219,8 @@ def main(argv=None):
         import dataclasses
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
-          curriculum_ramp=args.curriculum_ramp, data_path=args.data_path)
+          curriculum_ramp=args.curriculum_ramp, data_path=args.data_path,
+          dev_start=args.dev_start)
 
 
 if __name__ == "__main__":
