@@ -37,8 +37,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def train_step(params, opt_state, batch, cfg: Config):
+def _step(params, opt_state, batch, cfg: Config):
     def loss(p):
         return tsp.loss_fn(p, batch, cfg.model)
     (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
@@ -47,6 +46,25 @@ def train_step(params, opt_state, batch, cfg: Config):
     gnorm = optax.global_norm(grads)
     return params, opt_state, {"loss": l, "accuracy": aux["accuracy"],
                                "grad_norm": gnorm}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def train_step(params, opt_state, batch, cfg: Config):
+    return _step(params, opt_state, batch, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def train_chunk(params, opt_state, batches, cfg: Config):
+    """K optimizer steps per dispatch (batches: dict of [K, ...] arrays).
+
+    The axon tunnel costs ~35ms per jit call; scanning K steps inside one
+    call amortises it (measured: 162 -> ~130 ms/step at K=8, n40 preset)."""
+    def body(carry, b):
+        p, o = carry
+        p, o, m = _step(p, o, b, cfg)
+        return (p, o), m
+    (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), batches)
+    return params, opt_state, jax.tree.map(lambda x: x.mean(), ms)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -116,7 +134,7 @@ def device_batch(batch: Dict[str, np.ndarray], dtype=jnp.float32):
 def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
           log_dir: Optional[str] = None, curriculum_ramp: int = 0,
           eval_instances: int = 64, data_path: Optional[str] = None,
-          dev_start: Optional[float] = None) -> dict:
+          dev_start: Optional[float] = None, chunk: int = 1) -> dict:
     """data_path: directory of npz shards / .graph files (reference-style
     pre-generated training set); None = on-the-fly generation."""
     epochs = epochs if epochs is not None else cfg.train.epochs
@@ -164,18 +182,30 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
         t_epoch = time.time()
         edge_updates = 0
         losses, accs = [], []
-        for _ in range(cfg.train.batches_per_epoch):
+
+        def next_batch():
+            nonlocal stream
             try:
-                batch = next(stream)
+                return next(stream)
             except StopIteration:  # file loader exhausted: reshuffle + cycle
                 stream = iter(file_loader.get_batches(cfg.data.batch_size))
-                batch = next(stream)
-            edge_updates += edges_per_step(batch, cfg.model.tmax)
-            jb = device_batch(batch)
-            params, opt_state, m = train_step(params, opt_state, jb, cfg)
+                return next(stream)
+
+        assert cfg.train.batches_per_epoch % chunk == 0
+        for _ in range(cfg.train.batches_per_epoch // chunk):
+            bs = [next_batch() for _ in range(chunk)]
+            for b in bs:
+                edge_updates += edges_per_step(b, cfg.model.tmax)
+            if chunk == 1:
+                params, opt_state, m = train_step(
+                    params, opt_state, device_batch(bs[0]), cfg)
+            else:
+                stacked = {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+                params, opt_state, m = train_chunk(
+                    params, opt_state, device_batch(stacked), cfg)
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
-            step += 1
+            step += chunk
         dt = time.time() - t_epoch
         em = eval_step(params, eval_batch, cfg)
         final = logger.log(
@@ -209,6 +239,9 @@ def main(argv=None):
     p.add_argument("--dev-start", type=float, default=None,
                    help="curriculum: initial deviation, annealed to the "
                         "config deviation over --curriculum-ramp epochs")
+    p.add_argument("--chunk", type=int, default=1,
+                   help="optimizer steps per device dispatch (amortises "
+                        "the per-call tunnel latency)")
     args = p.parse_args(argv)
     cfg = get_config(args.preset)
     if args.batch_size:
@@ -220,7 +253,7 @@ def main(argv=None):
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
           curriculum_ramp=args.curriculum_ramp, data_path=args.data_path,
-          dev_start=args.dev_start)
+          dev_start=args.dev_start, chunk=args.chunk)
 
 
 if __name__ == "__main__":
