@@ -66,22 +66,43 @@ def instance_stream(seed: int, n_min: int, n_max: int,
 
 
 def save_shard(path: str, instances: List[Dict]) -> None:
-    """npz shard: ragged instances stored with per-instance keys."""
+    """npz shard, format v2: ragged instances stored as concatenated arrays
+    + offsets (a zip member per instance — the v1 format — made loading
+    pathologically slow at 8k instances/shard)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    flat = {}
-    for i, inst in enumerate(instances):
-        for k, v in inst.items():
-            flat[f"{i}/{k}"] = v
-    flat["count"] = np.int64(len(instances))
-    np.savez_compressed(path, **flat)
+    ns = np.asarray([int(i["n"]) for i in instances], np.int32)
+    np.savez_compressed(
+        path,
+        format=np.int32(2),
+        n=ns,
+        opt_cost=np.asarray([i["opt_cost"] for i in instances], np.float32),
+        coords=np.concatenate([i["coords"] for i in instances], axis=0),
+        W=np.concatenate([i["W"] for i in instances]),
+        tour=np.concatenate([i["tour"] for i in instances]),
+    )
 
 
 def load_shard(path: str) -> List[Dict]:
     z = np.load(path)
-    count = int(z["count"])
+    if "format" not in z.files:                      # v1 back-compat
+        count = int(z["count"])
+        out = []
+        for i in range(count):
+            out.append({k: z[f"{i}/{k}"] for k in ("n", "coords", "W",
+                                                   "tour", "opt_cost")})
+            out[-1]["n"] = int(out[-1]["n"])
+        return out
+    ns = z["n"]
+    coords, W, tour = z["coords"], z["W"], z["tour"]
+    costs = z["opt_cost"]
     out = []
-    for i in range(count):
-        out.append({k: z[f"{i}/{k}"] for k in ("n", "coords", "W", "tour",
-                                               "opt_cost")})
-        out[-1]["n"] = int(out[-1]["n"])
+    vo = eo = 0
+    for i, n in enumerate(ns):
+        n = int(n)
+        m = n * (n - 1) // 2
+        out.append({"n": n, "coords": coords[vo:vo + n],
+                    "W": W[eo:eo + m], "tour": tour[vo:vo + n],
+                    "opt_cost": costs[i]})
+        vo += n
+        eo += m
     return out

@@ -45,9 +45,14 @@ def lstm_init(key, input_dim: int, hidden_dim: int, dtype=jnp.float32) -> dict:
 
 def layer_norm(x: jnp.ndarray, gain: jnp.ndarray, shift: jnp.ndarray,
                eps: float = LN_EPS) -> jnp.ndarray:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gain + shift
+    """Always normalises in f32 (bf16 statistics are too coarse; no-op for
+    f32 inputs) and casts back to the compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = ((xf - mean) * jax.lax.rsqrt(var + eps) * gain.astype(jnp.float32)
+           + shift.astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
 def lstm_apply(

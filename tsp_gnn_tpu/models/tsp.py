@@ -134,7 +134,7 @@ def forward(
 def loss_fn(params: dict, batch: Dict[str, jnp.ndarray], cfg: ModelConfig,
             tmax: Optional[int] = None) -> Tuple[jnp.ndarray, Dict]:
     """Sigmoid BCE on the per-instance mean logit (reference loss)."""
-    logits = forward(params, batch, cfg, tmax)
+    logits = forward(params, batch, cfg, tmax).astype(jnp.float32)
     labels = batch["labels"].astype(logits.dtype)
     loss = jnp.mean(
         jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits))))

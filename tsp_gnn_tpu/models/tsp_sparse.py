@@ -180,7 +180,7 @@ def loss_fn_sparse(params, batch, cfg: ModelConfig, *, v_pad: int,
                    interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
     logits = forward_sparse(params, batch, cfg, v_pad=v_pad, m_pad=m_pad,
                             tmax=tmax, use_pallas=use_pallas, tile_e=tile_e,
-                            interpret=interpret)
+                            interpret=interpret).astype(jnp.float32)
     labels = batch["labels"].astype(logits.dtype)
     loss = jnp.mean(jnp.maximum(logits, 0) - logits * labels
                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))

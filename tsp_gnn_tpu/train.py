@@ -37,8 +37,18 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
+def _cast_bf16(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x, tree)
+
+
 def _step(params, opt_state, batch, cfg: Config):
     def loss(p):
+        if cfg.train.bf16:
+            # mixed precision: f32 master params, bf16 compute (grads flow
+            # back through the cast to the f32 masters) [B:L10]
+            return tsp.loss_fn(_cast_bf16(p), _cast_bf16(batch), cfg.model)
         return tsp.loss_fn(p, batch, cfg.model)
     (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
     updates, opt_state = make_optimizer(cfg).update(grads, opt_state, params)
@@ -134,7 +144,8 @@ def device_batch(batch: Dict[str, np.ndarray], dtype=jnp.float32):
 def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
           log_dir: Optional[str] = None, curriculum_ramp: int = 0,
           eval_instances: int = 64, data_path: Optional[str] = None,
-          dev_start: Optional[float] = None, chunk: int = 1) -> dict:
+          dev_start: Optional[float] = None, chunk: int = 1,
+          profile_dir: Optional[str] = None) -> dict:
     """data_path: directory of npz shards / .graph files (reference-style
     pre-generated training set); None = on-the-fly generation."""
     epochs = epochs if epochs is not None else cfg.train.epochs
@@ -192,17 +203,33 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
                 return next(stream)
 
         assert cfg.train.batches_per_epoch % chunk == 0
-        for _ in range(cfg.train.batches_per_epoch // chunk):
-            bs = [next_batch() for _ in range(chunk)]
-            for b in bs:
-                edge_updates += edges_per_step(b, cfg.model.tmax)
-            if chunk == 1:
-                params, opt_state, m = train_step(
-                    params, opt_state, device_batch(bs[0]), cfg)
-            else:
-                stacked = {k: np.stack([b[k] for b in bs]) for k in bs[0]}
-                params, opt_state, m = train_chunk(
-                    params, opt_state, device_batch(stacked), cfg)
+
+        def chunk_gen():
+            """Host-side batch assembly, prefetched off the device path."""
+            nonlocal edge_updates
+            for _ in range(cfg.train.batches_per_epoch // chunk):
+                bs = [next_batch() for _ in range(chunk)]
+                for b in bs:
+                    edge_updates += edges_per_step(b, cfg.model.tmax)
+                if chunk == 1:
+                    yield bs[0]
+                else:
+                    yield {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+
+        from tsp_gnn_tpu.data.pipeline import prefetch
+        from tsp_gnn_tpu.utils.profiling import maybe_trace
+        for i, stacked in enumerate(prefetch(chunk_gen(), depth=2)):
+            # profile exactly one steady-state chunk of the first epoch
+            do_trace = (profile_dir and epoch == start_epoch and i == 1)
+            with maybe_trace(profile_dir if do_trace else None):
+                if chunk == 1:
+                    params, opt_state, m = train_step(
+                        params, opt_state, device_batch(stacked), cfg)
+                else:
+                    params, opt_state, m = train_chunk(
+                        params, opt_state, device_batch(stacked), cfg)
+                if do_trace:
+                    jax.block_until_ready(m["loss"])
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
             step += chunk
@@ -242,6 +269,9 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=1,
                    help="optimizer steps per device dispatch (amortises "
                         "the per-call tunnel latency)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of one steady-state "
+                        "chunk into this directory")
     args = p.parse_args(argv)
     cfg = get_config(args.preset)
     if args.batch_size:
@@ -253,7 +283,8 @@ def main(argv=None):
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
           curriculum_ramp=args.curriculum_ramp, data_path=args.data_path,
-          dev_start=args.dev_start, chunk=args.chunk)
+          dev_start=args.dev_start, chunk=args.chunk,
+          profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":
