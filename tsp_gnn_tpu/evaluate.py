@@ -25,16 +25,42 @@ from tsp_gnn_tpu.models import tsp
 from tsp_gnn_tpu.utils import checkpoint as ckpt
 
 
-def _accuracy(params, batch, cfg: Config, tmax: Optional[int] = None) -> float:
-    jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    logits = tsp.forward(params, jb, cfg.model, tmax=tmax)
-    labels = jb["labels"]
+FORWARD_PATHS = ("dense", "sparse", "fused")
+
+
+def _accuracy(params, batch, cfg: Config, tmax: Optional[int] = None,
+              forward: str = "dense", insts=None, deviation=None) -> float:
+    """forward: "dense" (padded batch), "sparse" (block-diagonal Pallas
+    layout), or "fused" (VMEM-resident rollout kernel).  All three compute
+    the same model (cross-checked in tests)."""
+    if forward == "dense":
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        logits = tsp.forward(params, jb, cfg.model, tmax=tmax)
+    else:
+        from tsp_gnn_tpu.models import tsp_sparse
+        from tsp_gnn_tpu.ops import fused_rollout, layout
+        g = layout.build_uniform_block_graph(
+            insts, deviation, pad_n=int(batch["vertex_mask"].shape[1]))
+        sb = {k: jnp.asarray(v)
+              for k, v in tsp_sparse.block_batch_arrays(g).items()}
+        if forward == "sparse":
+            logits = tsp_sparse.forward_sparse(
+                params, sb, cfg.model, v_pad=g.v_pad, m_pad=g.m_pad,
+                tmax=tmax)
+        else:
+            logits = fused_rollout.forward_fused(
+                params, sb, cfg.model, v_pad=g.v_pad, m_pad=g.m_pad,
+                tmax=tmax)
+        batch = {k: np.asarray(v) for k, v in sb.items()} | {
+            "labels": np.asarray(g.labels)}
+    labels = jnp.asarray(batch["labels"])
     return float(jnp.mean(((logits > 0).astype(jnp.float32) == labels)))
 
 
 def deviation_sweep(params, cfg: Config, deviations: Sequence[float],
                     n_instances: int = 128, seed: int = 1234,
-                    pad_n: Optional[int] = None) -> List[Dict]:
+                    pad_n: Optional[int] = None,
+                    forward: str = "dense") -> List[Dict]:
     """Accuracy at each |deviation| (YES at +dev, NO at -dev) without retrain."""
     rng = np.random.default_rng(seed)
     d = cfg.data
@@ -45,7 +71,10 @@ def deviation_sweep(params, cfg: Config, deviations: Sequence[float],
     for dev in deviations:
         batch = make_dense_batch(insts, dev, pad_n or d.pad_n or d.n_max)
         rows.append({"sweep": "deviation", "deviation": dev,
-                     "accuracy": _accuracy(params, batch, cfg)})
+                     "forward": forward,
+                     "accuracy": _accuracy(params, batch, cfg,
+                                           forward=forward, insts=insts,
+                                           deviation=dev)})
     return rows
 
 
@@ -87,6 +116,8 @@ def main(argv=None):
                    default="all")
     p.add_argument("--out", default=None, help="JSONL output path")
     p.add_argument("--instances", type=int, default=128)
+    p.add_argument("--forward", choices=FORWARD_PATHS, default="dense",
+                   help="forward implementation for the deviation sweep")
     args = p.parse_args(argv)
 
     cfg = get_config(args.preset)
@@ -98,7 +129,7 @@ def main(argv=None):
     if args.sweep in ("deviation", "all"):
         rows += deviation_sweep(
             params, cfg, [0.0, 0.01, 0.02, 0.05, 0.10],
-            n_instances=args.instances)
+            n_instances=args.instances, forward=args.forward)
     if args.sweep in ("size", "all"):
         rows += size_generalization_sweep(
             params, cfg, [40, 50, 60, 70, 80], n_instances=args.instances // 2,

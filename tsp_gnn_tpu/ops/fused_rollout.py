@@ -1,0 +1,238 @@
+"""Fused message-passing rollout: the whole tmax loop in VMEM.
+
+The XLA scan path writes and re-reads every type's (h, c) state to HBM each
+iteration — the dominant traffic of the hot loop (SURVEY §3.2).  This kernel
+keeps a GROUP of problems' states resident in VMEM for the ENTIRE rollout:
+per grid step it loads initial states once, runs tmax iterations of
+  msg MLPs -> incidence aggregation (one-hot MXU tiles, as ops/spmm.py)
+  -> LayerNorm-LSTM updates (both types)
+entirely on-chip, and writes only the final states.  HBM traffic drops from
+O(tmax * states) to O(states).
+
+This is the "fused SpMM+LSTM step kernel, bf16 embeddings" deliverable of
+BASELINE.json configs[3].  Forward-only: training wraps it in jax.custom_vjp
+with the (tested-equivalent) jnp path supplying the backward via
+recomputation, so autodiff correctness is inherited, while eval/inference and
+the forward half of training take the fused path.
+
+Parameter packing (all MLPs are depth-3 d->d, see models/mlp.py sizing):
+  msg_w   [2, 3, d, d]   msg_b [2, 3, d]      (0 = V_msg_E, 1 = E_msg_V)
+  lstm_k  [2, 2d, 4d]                          (0 = V cell, 1 = E cell)
+  ln_g/ln_b [2, 5, d]                          (i, j, f, o, c per cell)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tsp_gnn_tpu.config import ModelConfig
+from tsp_gnn_tpu.models import cells, mlp
+
+TILE = 128
+
+
+def pack_params(params: dict, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
+    """Model params (models/tsp.py layout) -> fused-kernel arrays."""
+    gnn = params["gnn"]
+    d = params["v_init"].shape[0]
+    assert cfg.mlp_depth == 3, "fused kernel assumes depth-3 message MLPs"
+
+    def stack_mlp(p):
+        return (jnp.stack([layer["w"] for layer in p]).astype(dtype),
+                jnp.stack([layer["b"] for layer in p]).astype(dtype))
+
+    wv, bv = stack_mlp(gnn["msgs"]["V_msg_E"])
+    we, be = stack_mlp(gnn["msgs"]["E_msg_V"])
+    lstm_k = jnp.stack([gnn["cells"]["V"]["kernel"],
+                        gnn["cells"]["E"]["kernel"]]).astype(dtype)
+    gains, shifts = [], []
+    for cell in ("V", "E"):
+        gains.append(jnp.stack([gnn["cells"][cell][f"ln_{g}"]["g"]
+                                for g in cells.GATES]))
+        shifts.append(jnp.stack([gnn["cells"][cell][f"ln_{g}"]["b"]
+                                 for g in cells.GATES]))
+    return {
+        "msg_w": jnp.stack([wv, we]),
+        "msg_b": jnp.stack([bv, be]),
+        "lstm_k": lstm_k,
+        "ln_g": jnp.stack(gains).astype(jnp.float32),
+        "ln_b": jnp.stack(shifts).astype(jnp.float32),
+    }
+
+
+def _ln(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
+
+
+def _mlp(x, w_ref, b_ref, which, depth=3):
+    for l in range(depth):
+        x = jnp.dot(x, w_ref[which, l], preferred_element_type=jnp.float32
+                    ).astype(x.dtype) + b_ref[which, l]
+        if l < depth - 1:
+            x = jnp.maximum(x, 0)
+    return x
+
+
+def _lstm(z_in, h, c, k_ref, g_ref, b_ref, which, act, forget_bias, eps):
+    z = jnp.dot(jnp.concatenate([z_in, h], axis=-1), k_ref[which],
+                preferred_element_type=jnp.float32).astype(z_in.dtype)
+    d = h.shape[-1]
+    i = _ln(z[:, 0 * d:1 * d], g_ref[which, 0], b_ref[which, 0], eps)
+    j = _ln(z[:, 1 * d:2 * d], g_ref[which, 1], b_ref[which, 1], eps)
+    f = _ln(z[:, 2 * d:3 * d], g_ref[which, 2], b_ref[which, 2], eps)
+    o = _ln(z[:, 3 * d:4 * d], g_ref[which, 3], b_ref[which, 3], eps)
+    new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * act(j)
+    ln_c = _ln(new_c, g_ref[which, 4], b_ref[which, 4], eps)
+    new_h = act(ln_c) * jax.nn.sigmoid(o)
+    return new_h, new_c
+
+
+def _rollout_kernel(src_ref, tgt_ref, em_ref, vm_ref, hv0_ref, he0_ref,
+                    mw_ref, mb_ref, k_ref, g_ref, b_ref,
+                    hv_out, he_out, *,
+                    tmax, v_pad, m_pad, group, cell_act, forget_bias, eps):
+    act = {"relu": lambda x: jnp.maximum(x, 0), "tanh": jnp.tanh}[cell_act]
+    rows = m_pad // TILE
+    vm = vm_ref[:]
+    em_col = em_ref[:].reshape(group * m_pad, 1)
+
+    def one_hot(p, r, dtype):
+        vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
+        idx = p * rows + r
+        oh = ((vid == src_ref[idx, :][None, :]).astype(dtype)
+              + (vid == tgt_ref[idx, :][None, :]).astype(dtype))
+        return oh * em_ref[idx, :][None, :].astype(dtype)
+
+    def body(_, carry):
+        h_v, c_v, h_e, c_e = carry
+        msg_v = _mlp(h_v * vm, mw_ref, mb_ref, 0)
+        msg_e = _mlp(h_e * em_col, mw_ref, mb_ref, 1) * em_col
+        agg_e_parts = []
+        agg_v_parts = []
+        for p in range(group):
+            xw = msg_v[p * v_pad:(p + 1) * v_pad, :]
+            acc_v = jnp.zeros((v_pad, msg_v.shape[-1]), jnp.float32)
+            for r in range(rows):
+                oh = one_hot(p, r, msg_v.dtype)
+                agg_e_parts.append(jax.lax.dot_general(
+                    oh, xw, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(h_e.dtype))
+                xe = msg_e[p * m_pad + r * TILE: p * m_pad + (r + 1) * TILE, :]
+                acc_v += jax.lax.dot_general(
+                    oh, xe, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            agg_v_parts.append(acc_v.astype(h_v.dtype))
+        agg_e = jnp.concatenate(agg_e_parts, axis=0)
+        agg_v = jnp.concatenate(agg_v_parts, axis=0)
+        h_v, c_v = _lstm(agg_v, h_v, c_v, k_ref, g_ref, b_ref, 0, act,
+                         forget_bias, eps)
+        h_e, c_e = _lstm(agg_e, h_e, c_e, k_ref, g_ref, b_ref, 1, act,
+                         forget_bias, eps)
+        return h_v, c_v, h_e, c_e
+
+    h_v0 = hv0_ref[:]
+    h_e0 = he0_ref[:]
+    init = (h_v0, jnp.zeros_like(h_v0), h_e0, jnp.zeros_like(h_e0))
+    h_v, c_v, h_e, c_e = jax.lax.fori_loop(0, tmax, body, init)
+    hv_out[:] = h_v
+    he_out[:] = h_e
+
+
+def fused_rollout(src2, tgt2, em2, vert_mask, h_v0, h_e0, packed, *,
+                  tmax: int, v_pad: int, m_pad: int, num_problems: int,
+                  group: int = 4, cell_activation: str = "relu",
+                  forget_bias: float = 1.0, ln_eps: float = 1e-12,
+                  interpret=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run tmax MP iterations fully on-chip; returns (h_v_T, h_e_T).
+
+    src2/tgt2/em2: lane-major [M/128, 128]; vert_mask [N, 1];
+    h_v0 [N, d]; h_e0 [M, d]; packed = pack_params(...).
+    """
+    from tsp_gnn_tpu.ops.spmm import resolve_interpret
+    interpret = resolve_interpret(interpret)
+    d = h_v0.shape[-1]
+    while num_problems % group:
+        group //= 2
+    rows = m_pad // TILE
+    grid = (num_problems // group,)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0) if len(shape) == 2
+                                       else (0, 0, 0) if len(shape) == 3
+                                       else (0, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _rollout_kernel, tmax=tmax, v_pad=v_pad, m_pad=m_pad, group=group,
+        cell_act=cell_activation, forget_bias=forget_bias, eps=ln_eps)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((group * rows, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * rows, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * rows, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * v_pad, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * v_pad, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * m_pad, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const(packed["msg_w"].shape),
+            const(packed["msg_b"].shape),
+            const(packed["lstm_k"].shape),
+            const(packed["ln_g"].shape),
+            const(packed["ln_b"].shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((group * v_pad, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * m_pad, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_problems * v_pad, d), h_v0.dtype),
+            jax.ShapeDtypeStruct((num_problems * m_pad, d), h_e0.dtype),
+        ),
+        interpret=interpret,
+    )(src2, tgt2, em2, vert_mask, h_v0, h_e0,
+      packed["msg_w"], packed["msg_b"], packed["lstm_k"],
+      packed["ln_g"], packed["ln_b"])
+
+
+def forward_fused(params: dict, batch: Dict[str, jnp.ndarray],
+                  cfg: ModelConfig, *, v_pad: int, m_pad: int,
+                  tmax=None, group: int = 4,
+                  interpret=None) -> jnp.ndarray:
+    """Sparse-layout forward using the fused rollout; returns logits [B].
+
+    Matches models/tsp_sparse.forward_sparse (tests assert allclose)."""
+    tmax = cfg.tmax if tmax is None else tmax
+    assert not cfg.feed_wc_each_step, "fused path: feed_wc not supported"
+    B = batch["labels"].shape[0]
+    d = params["v_init"].shape[0]
+    N = B * v_pad
+    em = batch["edge_mask"]
+    h_v0 = jnp.broadcast_to(params["v_init"][None, :], (N, d)).astype(
+        batch["W"].dtype)
+    wc = jnp.concatenate([batch["W"], batch["C"]], axis=-1)
+    h_e0 = mlp.mlp_apply(params["e_init"], wc) * em
+    packed = pack_params(params, cfg, dtype=h_e0.dtype)
+    _, h_e = fused_rollout(
+        batch["src2"], batch["tgt2"], batch["em2"], batch["vert_mask"],
+        h_v0, h_e0, packed, tmax=tmax, v_pad=v_pad, m_pad=m_pad,
+        num_problems=B, group=group, cell_activation=cfg.cell_activation,
+        forget_bias=cfg.forget_bias, ln_eps=cfg.ln_eps, interpret=interpret)
+    votes = mlp.mlp_apply(params["vote"], h_e) * em
+    sums = votes.reshape(B, m_pad).sum(-1)
+    cnt = jnp.maximum(em.reshape(B, m_pad).sum(-1), 1.0)
+    return sums / cnt

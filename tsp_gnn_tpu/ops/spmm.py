@@ -40,6 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 
 
+def resolve_interpret(interpret) -> bool:
+    """interpret=None -> auto: interpreter mode on CPU backends (tests,
+    forced-CPU runs), compiled Mosaic on TPU."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
 def _pick_tile_e(m_pad: int, tile_e: int, interpret: bool) -> int:
     while m_pad % tile_e:
         tile_e //= 2
@@ -75,13 +83,14 @@ def _e_from_v_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
 
 
 def e_from_v(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
-             tile_e: int = 1024, interpret: bool = False):
+             tile_e: int = 1024, interpret=None):
     """out[e] = x_v[prob(e)*v_pad + src[e]] + x_v[prob(e)*v_pad + tgt[e]].
 
     src2/tgt2/em2: [M//128, 128] lane-major; x_v: [B*v_pad, d]; out: [M, d].
     """
     d = x_v.shape[-1]
     M = src2.shape[0] * TILE
+    interpret = resolve_interpret(interpret)
     tile_e = _pick_tile_e(m_pad, tile_e, interpret)
     rows = tile_e // TILE
     grid = (M // tile_e,)
@@ -122,7 +131,7 @@ def _v_from_e_kernel(src_ref, tgt_ref, em_ref, xe_ref, out_ref, *,
 
 
 def v_from_e(src2, tgt2, em2, x_e, *, v_pad: int, m_pad: int,
-             num_problems: int, tile_e: int = 1024, interpret: bool = False):
+             num_problems: int, tile_e: int = 1024, interpret=None):
     """out[v] = sum of x_e over edges incident to v (block-diagonal scatter).
 
     x_e: [M, d]; out: [B*v_pad, d].  Output blocks are revisited consecutively
@@ -130,6 +139,7 @@ def v_from_e(src2, tgt2, em2, x_e, *, v_pad: int, m_pad: int,
     """
     d = x_e.shape[-1]
     M = src2.shape[0] * TILE
+    interpret = resolve_interpret(interpret)
     tile_e = _pick_tile_e(m_pad, tile_e, interpret)
     rows = tile_e // TILE
     tiles_per_prob = m_pad // tile_e
@@ -171,9 +181,10 @@ def _sddmm_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
 
 
 def sddmm(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
-          tile_e: int = 1024, interpret: bool = False):
+          tile_e: int = 1024, interpret=None):
     """out2[e] = <x_v[src[e]], x_v[tgt[e]]>, lane-major [M//128, 128]."""
     M = src2.shape[0] * TILE
+    interpret = resolve_interpret(interpret)
     tile_e = _pick_tile_e(m_pad, tile_e, interpret)
     rows = tile_e // TILE
     grid = (M // tile_e,)
@@ -207,10 +218,11 @@ _SEG_GROUP = 8  # problems per grid step (sublane-aligned output block)
 
 
 def segment_sum_per_problem(x2, em2, *, m_pad: int, num_problems: int,
-                            interpret: bool = False):
+                            interpret=None):
     """Per-problem (sum, count) of a lane-major per-edge scalar [M//128, 128]
     -> [B, 2] (the readout segment-reduce).  Falls back to the jnp reference
     when B is not a multiple of the sublane group."""
+    interpret = resolve_interpret(interpret)
     if num_problems % _SEG_GROUP:
         return segment_sum_ref(x2, em2, m_pad=m_pad,
                                num_problems=num_problems)
