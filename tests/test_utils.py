@@ -1,0 +1,70 @@
+"""Utils: prefetcher semantics, fd redirector, metrics logger, system info."""
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tsp_gnn_tpu.data.pipeline import prefetch
+from tsp_gnn_tpu.utils.metrics import MetricsLogger
+from tsp_gnn_tpu.utils.redirect import capture_fd, redirect_fd
+from tsp_gnn_tpu.utils.system import memory_usage, timestamp
+
+
+def test_prefetch_order_and_exhaustion():
+    out = list(prefetch(iter(range(20)), depth=3))
+    assert out == list(range(20))
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+        next(it)
+
+
+def test_prefetch_overlaps_producer():
+    """Producer works while consumer sleeps: total < serial time."""
+    def gen():
+        for _ in range(4):
+            time.sleep(0.05)
+            yield 1
+    t0 = time.time()
+    for _ in prefetch(gen(), depth=2):
+        time.sleep(0.05)
+    assert time.time() - t0 < 0.38  # serial would be ~0.4
+
+
+def test_redirect_fd_silences_c_level(tmp_path, capfd):
+    with redirect_fd(1, os.devnull):
+        os.write(1, b"should not appear\n")
+    out, _ = capfd.readouterr()
+    assert "should not appear" not in out
+
+
+def test_capture_fd():
+    with capture_fd(1) as get:
+        os.write(1, b"captured!")
+    assert "captured!" in get()
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(path, mirror_stdout=False)
+    lg.log(step=1, loss=0.5)
+    lg.log(step=2, loss=np.float32(0.25))
+    lg.close()
+    rows = [json.loads(l) for l in open(path)]
+    assert rows[0]["step"] == 1 and rows[1]["loss"] == 0.25
+    assert "wall_s" in rows[0]
+
+
+def test_system_helpers():
+    assert len(timestamp()) == 19
+    mu = memory_usage()
+    assert mu["peak_rss_mb"] > 0
