@@ -42,22 +42,25 @@ def main():
     params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
     opt_state = tr.make_optimizer(cfg).init(params)
 
+    # production path: CHUNK optimizer steps per dispatch (train.py --chunk)
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    stacked = {k: jnp.asarray(np.stack([v] * chunk)) for k, v in batch.items()}
+
     # warmup / compile
-    params, opt_state, m = tr.train_step(params, opt_state, jb, cfg)
+    params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
     jax.block_until_ready(m["loss"])
 
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    # block EVERY step: on the axon backend a block on the final loss of a
-    # donated chain does not reliably wait for the whole chain, which
-    # produced a ~100x-inflated first measurement.  Per-step sync is the
-    # honest number.
+    iters = int(os.environ.get("BENCH_STEPS", "40")) // chunk
+    # block EVERY dispatch: on the axon backend a block on the final loss of
+    # a donated chain does not reliably wait for the whole chain, which
+    # produced a ~100x-inflated first measurement.
     t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, m = tr.train_step(params, opt_state, jb, cfg)
+    for _ in range(iters):
+        params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
         jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
 
-    edge_updates = int(batch["n_edges"].sum()) * cfg.model.tmax * steps
+    edge_updates = int(batch["n_edges"].sum()) * cfg.model.tmax * chunk * iters
     eps = edge_updates / dt
 
     prev = None
