@@ -187,6 +187,37 @@ def make_sharded_loss(cfg: ModelConfig, mesh: Mesh, *, v_pad: int,
     return sharded
 
 
+def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, *,
+                            v_pad: int, m_pad: int,
+                            tmax: Optional[int] = None,
+                            use_pallas: bool = False, tile_e: int = 1024,
+                            interpret=None):
+    """Jitted (params, opt_state, batch) -> (params, opt_state, metrics)
+    over the (data, graph) mesh.
+
+    Loss/grad run shard_mapped (halo exchange inside); grads arrive
+    replicated (shard_map transposes the psums), so the optimizer update is
+    plain optax on replicated params — XLA keeps everything sharded.
+    """
+    if interpret is None:
+        import jax as _jax
+        interpret = _jax.default_backend() == "cpu"
+    loss_fn = make_sharded_loss(cfg, mesh, v_pad=v_pad, m_pad=m_pad,
+                                tmax=tmax, use_pallas=use_pallas,
+                                tile_e=tile_e, interpret=interpret)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch), has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return step
+
+
 def dryrun(mesh: Mesh, cfg=None) -> None:
     """One sharded loss+grad step on tiny shapes (driver validation path)."""
     import dataclasses
@@ -217,7 +248,15 @@ def dryrun(mesh: Mesh, cfg=None) -> None:
           for k, v in batch.items()}
     params = jax.device_put(params, NamedSharding(mesh, P()))
     loss, aux = jax.jit(loss_fn)(params, jb)
-    grads = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)[0]))(params, jb)
-    jax.block_until_ready(grads)
+    # FULL training step (loss + halo'd grads + optimizer) over the mesh
+    import optax
+    opt = optax.adam(1e-3)
+    step = make_sharded_train_step(mcfg, mesh, opt, v_pad=g.v_pad,
+                                   m_pad=g.m_pad)
+    opt_state = jax.device_put(opt.init(params), NamedSharding(mesh, P()))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    params, opt_state, aux = step(params, opt_state, jb)
+    jax.block_until_ready(aux["loss"])
     print(f"halo dryrun: mesh={dict(mesh.shape)} loss={float(loss):.4f} "
-          f"grad ok")
+          f"sharded train step ok (post-step loss metric "
+          f"{float(aux['loss']):.4f})")

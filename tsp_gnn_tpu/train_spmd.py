@@ -1,0 +1,128 @@
+"""SPMD training over the (data, graph) mesh — the multi-host entry point.
+
+BASELINE configs[4]: edge-partitioned mega-batch over a pod slice.  On a
+single host this runs across local devices; on a pod slice, launch one
+process per host (parallel/launcher.py initialises jax.distributed) and the
+same code runs over the global mesh — per-host batches feed the data axis.
+
+Usage (single host, e.g. 8-device fake mesh for CI):
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+    python -m tsp_gnn_tpu.train_spmd --data 4 --graph 2 --epochs 2 ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tsp_gnn_tpu.config import Config, get_config
+from tsp_gnn_tpu.data import generator
+from tsp_gnn_tpu.models import tsp
+from tsp_gnn_tpu.ops import layout
+from tsp_gnn_tpu.parallel import halo, launcher
+from tsp_gnn_tpu.parallel.mesh import make_mesh
+from tsp_gnn_tpu.utils import checkpoint as ckpt
+from tsp_gnn_tpu.utils.metrics import MetricsLogger
+
+
+def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
+               epochs: Optional[int] = None, seed: int = 0,
+               log_dir: str = "runs/spmd", steps_per_epoch: int = 32,
+               use_pallas: Optional[bool] = None) -> dict:
+    topo = launcher.initialize()
+    mesh = make_mesh(data_axis, graph_axis)
+    logger = MetricsLogger(os.path.join(log_dir, "metrics.jsonl"),
+                           mirror_stdout=topo["process_index"] == 0)
+    logger.log(event="topology", **topo, mesh=str(dict(mesh.shape)))
+
+    d = cfg.data
+    pad_n = d.pad_n or d.n_max
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+
+    params = tsp.tsp_init(jax.random.PRNGKey(seed), cfg.model)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip),
+                      optax.adam(cfg.train.lr))
+    opt_state = opt.init(params)
+
+    # fix m_pad so the graph axis divides it into legal kernel tiles
+    probe = layout.build_uniform_block_graph(
+        [generator.generate_instance(np.random.default_rng(0), d.n_min)],
+        d.deviation, pad_n)
+    align = graph_axis * (1024 if use_pallas else 128)
+    m_pad = ((probe.m_pad + align - 1) // align) * align
+    v_pad = probe.v_pad
+
+    step_fn = halo.make_sharded_train_step(
+        cfg.model, mesh, opt, v_pad=v_pad, m_pad=m_pad,
+        use_pallas=use_pallas)
+    specs = halo.batch_specs()
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    rng = np.random.default_rng(seed + 1)
+    final = {}
+    epochs = epochs if epochs is not None else cfg.train.epochs
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses, accs = [], []
+        for _ in range(steps_per_epoch):
+            insts = [generator.generate_instance(
+                rng, int(rng.integers(d.n_min, d.n_max + 1)), d.solver,
+                d.two_opt_restarts) for _ in range(cfg.data.batch_size)]
+            g = layout.build_uniform_block_graph(insts, d.deviation, pad_n)
+            g = layout.pad_uniform_edges(g, m_pad)
+            batch = halo.shard_batch_arrays(g)
+            jb = {k: jax.device_put(jnp.asarray(v),
+                                    NamedSharding(mesh, specs[k]))
+                  for k, v in batch.items()}
+            params, opt_state, aux = step_fn(params, opt_state, jb)
+            losses.append(float(aux["loss"]))
+            accs.append(float(aux["accuracy"]))
+        final = logger.log(event="epoch", epoch=epoch,
+                           train_loss=float(np.mean(losses)),
+                           train_acc=float(np.mean(accs)),
+                           epoch_s=time.time() - t0)
+        ckpt.save_checkpoint(
+            os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.pkl"),
+            {"params": params, "opt_state": opt_state, "epoch": epoch,
+             "step": (epoch + 1) * steps_per_epoch, "seed": seed})
+    logger.close()
+    return {"params": params, "metrics": final}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="SPMD decision-TSP training")
+    p.add_argument("--preset", default="multihost")
+    p.add_argument("--data", type=int, default=-1,
+                   help="data-axis size (-1: devices/graph)")
+    p.add_argument("--graph", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--log-dir", default="runs/spmd")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    cfg = get_config(args.preset)
+    if args.batch_size:
+        import dataclasses
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   batch_size=args.batch_size))
+    data_axis = args.data
+    if data_axis == -1:
+        data_axis = max(1, jax.device_count() // args.graph)
+    train_spmd(cfg, data_axis=data_axis, graph_axis=args.graph,
+               epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
+               steps_per_epoch=args.steps_per_epoch)
+
+
+if __name__ == "__main__":
+    main()
