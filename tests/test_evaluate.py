@@ -1,0 +1,63 @@
+"""Evaluation sweeps + figures: structure, forward-path agreement, render."""
+import dataclasses
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from tsp_gnn_tpu import evaluate, figures
+from tsp_gnn_tpu.config import get_config
+from tsp_gnn_tpu.models import tsp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("pr1")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, d=16, tmax=4),
+                      data=dataclasses.replace(cfg.data, n_min=9, n_max=11,
+                                               pad_n=11))
+    params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+    return cfg, params
+
+
+def test_deviation_sweep_structure(setup):
+    cfg, params = setup
+    rows = evaluate.deviation_sweep(params, cfg, [0.0, 0.3], n_instances=6)
+    assert [r["deviation"] for r in rows] == [0.0, 0.3]
+    assert all(0 <= r["accuracy"] <= 1 for r in rows)
+
+
+@pytest.mark.parametrize("forward", ["sparse", "fused"])
+def test_forward_paths_agree_with_dense(setup, forward):
+    cfg, params = setup
+    dense = evaluate.deviation_sweep(params, cfg, [0.3], n_instances=6,
+                                     forward="dense")
+    other = evaluate.deviation_sweep(params, cfg, [0.3], n_instances=6,
+                                     forward=forward)
+    assert dense[0]["accuracy"] == pytest.approx(other[0]["accuracy"])
+
+
+def test_size_and_tmax_sweeps(setup):
+    cfg, params = setup
+    rows = evaluate.size_generalization_sweep(params, cfg, [9, 12],
+                                              n_instances=4)
+    assert [r["n"] for r in rows] == [9, 12]
+    rows = evaluate.tmax_sweep(params, cfg, [2, 4], n_instances=4)
+    assert [r["tmax"] for r in rows] == [2, 4]
+
+
+def test_figures_render(tmp_path):
+    rows = ([{"sweep": "deviation", "deviation": d, "accuracy": a}
+             for d, a in [(0.0, 0.5), (0.02, 0.8), (0.1, 0.95)]]
+            + [{"sweep": "size", "n": n, "accuracy": a}
+               for n, a in [(20, 0.8), (40, 0.7)]]
+            + [{"sweep": "tmax", "tmax": t, "accuracy": a}
+               for t, a in [(16, 0.7), (32, 0.8)]])
+    p = tmp_path / "sweeps.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    written = figures.make_figures(figures.load_rows(str(p)),
+                                   str(tmp_path / "figs"))
+    assert len(written) == 3
+    import os
+    assert all(os.path.getsize(w) > 1000 for w in written)

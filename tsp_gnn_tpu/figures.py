@@ -1,0 +1,78 @@
+"""Figure generation from evaluation-sweep JSONL — the reference's paper
+figures [SURVEY §2.1 C9, §3.3]: accuracy-vs-deviation (sigmoid curve around
+the training deviation), size-generalization decay, tmax extrapolation.
+
+Usage:
+  python -m tsp_gnn_tpu.evaluate --checkpoint ... --out sweeps.jsonl
+  python -m tsp_gnn_tpu.figures sweeps.jsonl --out-dir figures/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import defaultdict
+
+
+def load_rows(path: str):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def make_figures(rows, out_dir: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    by_sweep = defaultdict(list)
+    for r in rows:
+        by_sweep[r.get("sweep")].append(r)
+    written = []
+
+    def plot(xs, ys, xlabel, title, fname, xlog=False):
+        fig, ax = plt.subplots(figsize=(5, 3.5))
+        ax.plot(xs, ys, marker="o")
+        ax.axhline(0.5, color="gray", lw=0.8, ls="--", label="chance")
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("decision accuracy")
+        ax.set_ylim(0.4, 1.02)
+        ax.set_title(title)
+        ax.legend()
+        fig.tight_layout()
+        path = os.path.join(out_dir, fname)
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        written.append(path)
+
+    if by_sweep.get("deviation"):
+        rs = sorted(by_sweep["deviation"], key=lambda r: r["deviation"])
+        plot([r["deviation"] * 100 for r in rs],
+             [r["accuracy"] for r in rs],
+             "cost deviation (%)", "Accuracy vs deviation",
+             "accuracy_vs_deviation.png")
+    if by_sweep.get("size"):
+        rs = sorted(by_sweep["size"], key=lambda r: r["n"])
+        plot([r["n"] for r in rs], [r["accuracy"] for r in rs],
+             "test instance size n", "Size generalization",
+             "size_generalization.png")
+    if by_sweep.get("tmax"):
+        rs = sorted(by_sweep["tmax"], key=lambda r: r["tmax"])
+        plot([r["tmax"] for r in rs], [r["accuracy"] for r in rs],
+             "message-passing iterations (test)", "tmax extrapolation",
+             "tmax_extrapolation.png")
+    return written
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Render sweep figures")
+    p.add_argument("sweeps", help="JSONL from tsp_gnn_tpu.evaluate --out")
+    p.add_argument("--out-dir", default="figures")
+    args = p.parse_args(argv)
+    written = make_figures(load_rows(args.sweeps), args.out_dir)
+    for w in written:
+        print(w)
+
+
+if __name__ == "__main__":
+    main()

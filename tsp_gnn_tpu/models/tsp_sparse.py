@@ -29,8 +29,8 @@ from tsp_gnn_tpu.ops.layout import UniformBlockGraph
 
 
 def make_incidence_ops(v_pad: int, m_pad: int, num_problems: int,
-                       use_pallas: bool = True, tile_e: int = 512,
-                       interpret: bool = False):
+                       use_pallas: bool = True, tile_e: int = 1024,
+                       interpret=None):
     """Returns (e_from_v, v_from_e) closures with custom VJPs.
 
     d/dx_v [ (S+T) @ x_v ] . g  =  (S+T)^T @ g   — i.e. the other kernel.
@@ -106,8 +106,8 @@ def forward_sparse(
     m_pad: int,
     tmax: Optional[int] = None,
     use_pallas: bool = True,
-    tile_e: int = 512,
-    interpret: bool = False,
+    tile_e: int = 1024,
+    interpret=None,
     return_trajectory: bool = False,
 ):
     """Sparse-path forward -> per-problem logits [B].
@@ -176,8 +176,8 @@ def forward_sparse(
 
 def loss_fn_sparse(params, batch, cfg: ModelConfig, *, v_pad: int,
                    m_pad: int, tmax: Optional[int] = None,
-                   use_pallas: bool = True, tile_e: int = 512,
-                   interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+                   use_pallas: bool = True, tile_e: int = 1024,
+                   interpret=None) -> Tuple[jnp.ndarray, Dict]:
     logits = forward_sparse(params, batch, cfg, v_pad=v_pad, m_pad=m_pad,
                             tmax=tmax, use_pallas=use_pallas, tile_e=tile_e,
                             interpret=interpret).astype(jnp.float32)
