@@ -36,6 +36,26 @@ def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
         return pickle.load(f)
 
 
+def save_checkpoint_orbax(path: str, state: Dict[str, Any]) -> str:
+    """Orbax backend — sharded/multi-host-safe saves (each host writes its
+    shards; pickle stays the default for single-host runs)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint_orbax(path: str, like: Optional[Dict[str, Any]] = None):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, like) if like is not None else ckptr.restore(path)
+
+
 def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
     if not os.path.isdir(directory):
         return None
