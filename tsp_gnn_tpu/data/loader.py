@@ -101,14 +101,24 @@ class InstanceLoader:
         assert self.instances, "no instances found"
         self.deviation = deviation
         self.pad_n = pad_n or max(int(i["n"]) for i in self.instances)
+        self.max_n: Optional[int] = None   # size curriculum [B:L8]: cap n
         self._rng = np.random.default_rng(shuffle_seed)
 
     def get_batches(self, batch_size: int,
                     shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield dense batches of `batch_size` instances (2x problems each)."""
-        order = np.arange(len(self.instances))
+        """Yield dense batches of `batch_size` instances (2x problems each).
+
+        Honours `self.max_n` (size curriculum) and `self.deviation`
+        (deviation curriculum), both adjustable between epochs."""
+        if self.max_n is not None:
+            pool = [i for i in self.instances if int(i["n"]) <= self.max_n]
+            if len(pool) < batch_size:   # curriculum floor: keep training
+                pool = self.instances
+        else:
+            pool = self.instances
+        order = np.arange(len(pool))
         if shuffle:
             self._rng.shuffle(order)
         for s in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [self.instances[j] for j in order[s:s + batch_size]]
+            chunk = [pool[j] for j in order[s:s + batch_size]]
             yield make_dense_batch(chunk, self.deviation, self.pad_n)

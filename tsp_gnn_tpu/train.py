@@ -185,8 +185,10 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
     final = {}
     for epoch in range(start_epoch, epochs):
         if file_loader is not None:
-            # curriculum over deviation applies to file batches too [B:L8]
-            file_loader.deviation = cur.at_epoch(epoch)[2]
+            # curricula over deviation AND size apply to file batches [B:L8]
+            _, n_hi, dev = cur.at_epoch(epoch)
+            file_loader.deviation = dev
+            file_loader.max_n = n_hi if n_hi < cfg.data.n_max else None
             stream = iter(file_loader.get_batches(cfg.data.batch_size))
         else:
             stream = batch_stream(cfg, seed + epoch, cur, epoch)
