@@ -68,3 +68,35 @@ def test_system_helpers():
     assert len(timestamp()) == 19
     mu = memory_usage()
     assert mu["peak_rss_mb"] > 0
+
+
+def test_run_with_restart_retries_then_succeeds():
+    from tsp_gnn_tpu.parallel.launcher import run_with_restart
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert run_with_restart(flaky, max_restarts=3, backoff_s=0.01) == "ok"
+    assert calls["n"] == 3
+
+
+def test_run_with_restart_gives_up():
+    from tsp_gnn_tpu.parallel.launcher import run_with_restart
+    import pytest as _pytest
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with _pytest.raises(RuntimeError, match="permanent"):
+        run_with_restart(always_fails, max_restarts=2, backoff_s=0.01)
+
+
+def test_launcher_initialize_single_process():
+    from tsp_gnn_tpu.parallel.launcher import initialize
+    topo = initialize()
+    assert topo["process_count"] == 1
+    assert topo["local_devices"] >= 1

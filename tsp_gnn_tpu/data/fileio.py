@@ -21,7 +21,6 @@ from typing import Dict
 
 import numpy as np
 
-from tsp_gnn_tpu.models.tsp import edge_list
 
 
 def write_graph(path: str, inst: Dict) -> None:

@@ -9,7 +9,7 @@ the solver, instances written to disk.  The per-vertex cost normalisation
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -13,7 +13,6 @@ import functools
 import multiprocessing as mp
 import os
 
-import numpy as np
 
 from tsp_gnn_tpu.data import fileio, generator
 from tsp_gnn_tpu.utils.redirect import redirect_fd

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tsp_gnn_tpu.config import KernelConfig, ModelConfig
+from tsp_gnn_tpu.config import ModelConfig
 from tsp_gnn_tpu.models import cells, mlp
 from tsp_gnn_tpu.ops import spmm
 from tsp_gnn_tpu.ops.layout import UniformBlockGraph

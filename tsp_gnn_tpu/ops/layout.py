@@ -20,7 +20,7 @@ the window of vertex tiles their edges touch.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -29,7 +29,6 @@ reference's message-passing loop [SURVEY §2.3 step 3, §3.2 hot loop].
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

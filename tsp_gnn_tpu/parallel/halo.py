@@ -25,8 +25,7 @@ broadcast and the replicated-param gradients get psum'd automatically.
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

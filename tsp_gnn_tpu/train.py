@@ -24,7 +24,7 @@ import optax
 
 from tsp_gnn_tpu.config import Config, get_config
 from tsp_gnn_tpu.data import generator
-from tsp_gnn_tpu.data.loader import make_dense_batch, num_edges
+from tsp_gnn_tpu.data.loader import make_dense_batch
 from tsp_gnn_tpu.models import tsp
 from tsp_gnn_tpu.utils import checkpoint as ckpt
 from tsp_gnn_tpu.utils.metrics import MetricsLogger

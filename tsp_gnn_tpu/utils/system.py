@@ -7,7 +7,6 @@ utils/checkpoint.py).
 from __future__ import annotations
 
 import datetime
-import os
 import resource
 
 
