@@ -30,12 +30,14 @@ def main():
     from tsp_gnn_tpu.data.loader import make_dense_batch
     from tsp_gnn_tpu.models import tsp
 
-    cfg = get_config("n40")  # n in [20,40], batch 128, tmax 32
+    cfg = get_config("n40")  # n in [20,40], batch 128 instances, tmax 32
     n_pad = cfg.data.pad_n
     rng = np.random.default_rng(0)
+    # batch_size INSTANCES (each dual-labeled into 2 problems) — the exact
+    # workload train.py dispatches for this preset
     insts = [generator.generate_instance(
         rng, int(rng.integers(cfg.data.n_min, cfg.data.n_max + 1)),
-        "two_opt", restarts=1) for _ in range(cfg.data.batch_size // 2)]
+        "two_opt", restarts=1) for _ in range(cfg.data.batch_size)]
     batch = make_dense_batch(insts, cfg.data.deviation, n_pad)
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
 

@@ -30,8 +30,6 @@ class ModelConfig:
     feed_wc_each_step: bool = False  # also feed raw [w,c] to the E cell input
                                      # every iteration (reference-variant flag,
                                      # SURVEY §2.4 [K-med])
-    dtype: str = "float32"           # compute dtype of the jnp path
-    param_dtype: str = "float32"
     remat: bool = True               # rematerialize the MP scan for backprop
 
 
@@ -40,6 +38,8 @@ class DataConfig:
     """Instance generation + labeling (SURVEY §2.5)."""
     n_min: int = 20
     n_max: int = 40
+    test_n_min: Optional[int] = None  # eval range when != train range
+    test_n_max: Optional[int] = None  # (size-generalization protocol)
     deviation: float = 0.02          # +/- dev cost-threshold dual labeling
     solver: str = "auto"             # "auto" | "held_karp" | "two_opt" | "cpp"
     two_opt_restarts: int = 4
@@ -61,6 +61,8 @@ class TrainConfig:
     log_path: str = "runs/default"
     resume: bool = True
     bf16: bool = False               # bfloat16 embeddings (large-batch preset)
+    layout: str = "dense"            # "dense" (padded batch) | "sparse"
+                                     # (block-diagonal + Pallas kernels)
 
 
 @dataclass(frozen=True)
@@ -74,10 +76,11 @@ class MeshConfig:
 
 @dataclass(frozen=True)
 class KernelConfig:
-    """Pallas kernel knobs."""
-    use_pallas: bool = True          # use fused Pallas MP step where possible
-    batch_tile: int = 8              # batch items per kernel grid step
-    interpret: bool = False          # interpreter mode (CPU CI)
+    """Pallas kernel knobs (consumed by train.py --layout sparse)."""
+    use_pallas: bool = True          # Pallas SpMM kernels on the sparse path
+    fused: bool = False              # fused VMEM rollout as training forward
+    batch_tile: int = 8              # problems per fused-kernel grid step
+    tile_e: int = 1024               # edge-tile size of the SpMM kernels
 
 
 @dataclass(frozen=True)
@@ -111,20 +114,22 @@ def _preset_n40() -> Config:
 
 
 def _preset_size_gen() -> Config:
-    """BASELINE.json configs[2]: train n=20-40, test n=60-80, tmax=50."""
+    """BASELINE.json configs[2]: TRAIN on n=20-40, TEST on n=60-80 at
+    tmax=50 (evaluate.size_generalization_sweep reads the test range)."""
     return Config(
-        model=ModelConfig(tmax=50),
-        data=DataConfig(n_min=60, n_max=80, batch_size=64, pad_n=80),
+        model=ModelConfig(tmax=32),
+        data=DataConfig(n_min=20, n_max=40, pad_n=40,
+                        test_n_min=60, test_n_max=80, batch_size=64),
     )
 
 
 def _preset_large_batch() -> Config:
     """BASELINE.json configs[3]: 4k instances/batch, fused kernels, bf16."""
     return Config(
-        model=ModelConfig(tmax=32, dtype="bfloat16"),
+        model=ModelConfig(tmax=32),
         data=DataConfig(n_min=20, n_max=40, batch_size=4096, pad_n=40),
-        train=TrainConfig(bf16=True),
-        kernel=KernelConfig(use_pallas=True, batch_tile=16),
+        train=TrainConfig(bf16=True, layout="sparse"),
+        kernel=KernelConfig(use_pallas=True, fused=True, batch_tile=16),
     )
 
 

@@ -104,12 +104,10 @@ class InstanceLoader:
         self.max_n: Optional[int] = None   # size curriculum [B:L8]: cap n
         self._rng = np.random.default_rng(shuffle_seed)
 
-    def get_batches(self, batch_size: int,
-                    shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield dense batches of `batch_size` instances (2x problems each).
-
-        Honours `self.max_n` (size curriculum) and `self.deviation`
-        (deviation curriculum), both adjustable between epochs."""
+    def get_instance_batches(self, batch_size: int,
+                             shuffle: bool = True) -> Iterator[list]:
+        """Yield lists of `batch_size` instances, honouring `self.max_n`
+        (size curriculum); callers build dense or sparse layouts from them."""
         if self.max_n is not None:
             pool = [i for i in self.instances if int(i["n"]) <= self.max_n]
             if len(pool) < batch_size:   # curriculum floor: keep training
@@ -120,5 +118,11 @@ class InstanceLoader:
         if shuffle:
             self._rng.shuffle(order)
         for s in range(0, len(order) - batch_size + 1, batch_size):
-            chunk = [pool[j] for j in order[s:s + batch_size]]
+            yield [pool[j] for j in order[s:s + batch_size]]
+
+    def get_batches(self, batch_size: int,
+                    shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield dense batches of `batch_size` instances (2x problems each),
+        at the current `self.deviation` (deviation curriculum)."""
+        for chunk in self.get_instance_batches(batch_size, shuffle):
             yield make_dense_batch(chunk, self.deviation, self.pad_n)

@@ -131,9 +131,14 @@ def main(argv=None):
             params, cfg, [0.0, 0.01, 0.02, 0.05, 0.10],
             n_instances=args.instances, forward=args.forward)
     if args.sweep in ("size", "all"):
+        d = cfg.data
+        if d.test_n_min and d.test_n_max:   # size-generalization protocol
+            step = max(1, (d.test_n_max - d.test_n_min) // 4)
+            sizes = list(range(d.test_n_min, d.test_n_max + 1, step))
+        else:
+            sizes = [40, 50, 60, 70, 80]
         rows += size_generalization_sweep(
-            params, cfg, [40, 50, 60, 70, 80], n_instances=args.instances // 2,
-            tmax=50)
+            params, cfg, sizes, n_instances=args.instances // 2, tmax=50)
     if args.sweep in ("tmax", "all"):
         rows += tmax_sweep(params, cfg, [8, 16, 32, 48, 64],
                            n_instances=args.instances // 2)

@@ -108,8 +108,10 @@ def oracle_forward(
         d = np.asarray(params["v_init"]).shape[0]
         h_v = np.tile(to(params["v_init"])[None, :], (n, 1))
         c_v = np.zeros((n, d), dtype)
-        h_e = np_mlp(params["e_init"], np.concatenate([W, C], axis=1),
-                     msg_activation)
+        # e_init and vote MLPs use relu hidden layers unconditionally in
+        # the fast paths (mlp_apply default); msg_activation applies only to
+        # the message MLPs.
+        h_e = np_mlp(params["e_init"], np.concatenate([W, C], axis=1))
         c_e = np.zeros((m, d), dtype)
         for t in range(tmax):
             # messages computed from the PREVIOUS iteration's h (Jacobi)
@@ -125,7 +127,7 @@ def oracle_forward(
                                     cell_activation, forget_bias, ln_eps)
             traj[t]["V"].append(h_v.copy())
             traj[t]["E"].append(h_e.copy())
-        votes = np_mlp(params["vote"], h_e, msg_activation)[:, 0]
+        votes = np_mlp(params["vote"], h_e)[:, 0]
         logits.append(votes.mean())
     return np.asarray(logits), traj
 

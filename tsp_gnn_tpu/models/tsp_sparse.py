@@ -174,6 +174,45 @@ def forward_sparse(
     return logits
 
 
+def make_fused_logits(cfg: ModelConfig, *, v_pad: int, m_pad: int,
+                      group: int = 4, tmax: Optional[int] = None,
+                      use_pallas_bwd: bool = True):
+    """Training-capable fused forward: the VMEM-resident rollout kernel
+    (ops/fused_rollout) computes logits; the backward recomputes through the
+    scan path and takes ITS vjp (gradient correctness inherited from the
+    tested-equivalent scan implementation — rematerialisation, no residuals
+    saved).  Batch cotangents are zero (indices/masks/weights are data)."""
+    from tsp_gnn_tpu.ops import fused_rollout
+
+    def scan_logits(params, batch):
+        return forward_sparse(params, batch, cfg, v_pad=v_pad, m_pad=m_pad,
+                              tmax=tmax, use_pallas=use_pallas_bwd)
+
+    @jax.custom_vjp
+    def logits_fn(params, batch):
+        return fused_rollout.forward_fused(params, batch, cfg, v_pad=v_pad,
+                                           m_pad=m_pad, tmax=tmax,
+                                           group=group)
+
+    def fwd(params, batch):
+        return logits_fn(params, batch), (params, batch)
+
+    def bwd(res, g):
+        params, batch = res
+        _, vjp = jax.vjp(lambda p: scan_logits(p, batch), params)
+        (dparams,) = vjp(g)
+
+        def zero_ct(x):
+            if jnp.issubdtype(x.dtype, jnp.inexact):
+                return jnp.zeros_like(x)
+            return np.zeros(x.shape, jax.dtypes.float0)
+
+        return dparams, jax.tree.map(zero_ct, batch)
+
+    logits_fn.defvjp(fwd, bwd)
+    return logits_fn
+
+
 def loss_fn_sparse(params, batch, cfg: ModelConfig, *, v_pad: int,
                    m_pad: int, tmax: Optional[int] = None,
                    use_pallas: bool = True, tile_e: int = 1024,

@@ -4,14 +4,11 @@ The reference batches instances into ONE disconnected sparse graph via
 block-diagonal incidence stacking [SURVEY §2.5, §3.4].  This module builds
 that mega-graph in a TILED layout sized for the MXU [B:L5 "CSR/ELL tiles"]:
 
-  * edges and vertices of each instance occupy contiguous index ranges,
-    padded so every instance starts at a tile boundary (TILE = 128 lanes);
-  * per edge: endpoint ids (src < tgt), instance id, validity mask;
-  * per edge-tile: the first vertex-tile it touches — because the graph is
-    block-diagonal, an edge tile's endpoints span at most
-    ceil(max_n / TILE) + 1 vertex tiles, so the SpMM kernel only visits a
-    small static window of vertex tiles per edge tile (ops/spmm.py);
-  * per vertex: instance id + mask for the segmented readout.
+  * every problem occupies uniform v_pad vertex / m_pad edge slots (tile
+    multiples), so an edge tile's problem and vertex window are static —
+    the whole sparsity pattern lives in BlockSpec index maps (ops/spmm.py);
+  * per edge: LOCAL endpoint ids (src < tgt) and a validity mask;
+  * per vertex: a validity mask for the segmented readout.
 
 This layout is what gets edge-partitioned across the `graph` mesh axis
 (tsp_gnn_tpu/parallel): chips own contiguous edge-tile ranges; the halo is
@@ -31,111 +28,6 @@ TILE = 128
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-@dataclass
-class BlockGraph:
-    """Tiled block-diagonal mega-graph (all arrays padded to tile multiples).
-
-    N, M are padded vertex/edge counts; B the number of problems.
-    """
-    src: np.ndarray          # [M] int32 global vertex id of endpoint 0
-    tgt: np.ndarray          # [M] int32 global vertex id of endpoint 1
-    edge_inst: np.ndarray    # [M] int32 instance id (B for padding)
-    edge_mask: np.ndarray    # [M] f32 1.0 on real edges
-    vert_inst: np.ndarray    # [N] int32 instance id (B for padding)
-    vert_mask: np.ndarray    # [N] f32
-    W: np.ndarray            # [M] f32 edge weights
-    C: np.ndarray            # [M] f32 per-edge target cost channel
-    labels: np.ndarray       # [B] f32
-    n_vertices: np.ndarray   # [B] int32 real vertex counts
-    n_edges: np.ndarray      # [B] int32 real edge counts
-    etile_vt0: np.ndarray    # [M//TILE] int32 first vertex tile per edge tile
-
-    @property
-    def num_vertices(self) -> int:
-        return self.vert_mask.shape[0]
-
-    @property
-    def num_edges(self) -> int:
-        return self.edge_mask.shape[0]
-
-    @property
-    def num_problems(self) -> int:
-        return self.labels.shape[0]
-
-
-def build_block_graph(instances: List[Dict], deviation: float,
-                      tile: int = TILE) -> BlockGraph:
-    """Assemble the dual-labeled (YES/NO per instance) tiled mega-graph."""
-    probs = []
-    for inst in instances:
-        n = int(inst["n"])
-        cost_norm = float(inst["opt_cost"]) / n
-        for sign, label in ((1.0, 1.0), (-1.0, 0.0)):
-            probs.append((n, np.asarray(inst["W"], np.float32),
-                          (1.0 + sign * deviation) * cost_norm, label))
-
-    B = len(probs)
-    v_offsets, e_offsets = [], []
-    v_cursor = e_cursor = 0
-    for n, w, c, label in probs:
-        v_offsets.append(v_cursor)
-        e_offsets.append(e_cursor)
-        v_cursor += _round_up(n, tile)
-        e_cursor += _round_up(n * (n - 1) // 2, tile)
-    N, M = v_cursor, e_cursor
-
-    src = np.zeros(M, np.int32)
-    tgt = np.zeros(M, np.int32)
-    edge_inst = np.full(M, B, np.int32)
-    edge_mask = np.zeros(M, np.float32)
-    vert_inst = np.full(N, B, np.int32)
-    vert_mask = np.zeros(N, np.float32)
-    W = np.zeros(M, np.float32)
-    C = np.zeros(M, np.float32)
-    labels = np.zeros(B, np.float32)
-    n_vertices = np.zeros(B, np.int32)
-    n_edges = np.zeros(B, np.int32)
-
-    for i, (n, w, c, label) in enumerate(probs):
-        vo, eo = v_offsets[i], e_offsets[i]
-        m = n * (n - 1) // 2
-        e = edge_list(n)
-        src[eo:eo + m] = vo + e[:, 0]
-        tgt[eo:eo + m] = vo + e[:, 1]
-        edge_inst[eo:eo + m] = i
-        edge_mask[eo:eo + m] = 1.0
-        vert_inst[vo:vo + n] = i
-        vert_mask[vo:vo + n] = 1.0
-        W[eo:eo + m] = w
-        C[eo:eo + m] = c
-        labels[i] = label
-        n_vertices[i] = n
-        n_edges[i] = m
-        # padded edge slots: point at the instance's own padded vertex range
-        # (masked, but keeps the kernel's tile window small and in-bounds)
-        src[eo + m:eo + _round_up(m, tile)] = vo
-        tgt[eo + m:eo + _round_up(m, tile)] = vo
-
-    n_etiles = M // tile
-    etile_vt0 = np.zeros(n_etiles, np.int32)
-    for t in range(n_etiles):
-        lo = int(src[t * tile:(t + 1) * tile].min())
-        etile_vt0[t] = lo // tile
-
-    return BlockGraph(src=src, tgt=tgt, edge_inst=edge_inst,
-                      edge_mask=edge_mask, vert_inst=vert_inst,
-                      vert_mask=vert_mask, W=W, C=C, labels=labels,
-                      n_vertices=n_vertices, n_edges=n_edges,
-                      etile_vt0=etile_vt0)
-
-
-def vtile_window(instances_max_n: int, tile: int = TILE) -> int:
-    """Static count of vertex tiles an edge tile can touch (block-diagonal:
-    one instance spans ceil(max_n/tile) tiles; an edge tile may also cross an
-    instance boundary, adding one more window slot)."""
-    return (instances_max_n + tile - 1) // tile + 1
 
 
 def pad_uniform_edges(g: "UniformBlockGraph",

@@ -43,13 +43,39 @@ def _cast_bf16(tree):
         if getattr(x, "dtype", None) == jnp.float32 else x, tree)
 
 
+def _model_loss(params, batch, cfg: Config):
+    """Layout dispatch: dense padded batches vs block-diagonal sparse batches
+    (Pallas SpMM or fused-rollout forward per cfg.kernel).  v_pad/m_pad are
+    recovered from the (static-under-jit) batch shapes."""
+    if cfg.train.layout == "dense":
+        return tsp.loss_fn(params, batch, cfg.model)
+    from tsp_gnn_tpu.models import tsp_sparse
+    B = batch["labels"].shape[0]
+    m_pad = batch["edge_mask"].shape[0] // B
+    v_pad = batch["vert_mask"].shape[0] // B
+    kc = cfg.kernel
+    if kc.fused:
+        logits_fn = tsp_sparse.make_fused_logits(
+            cfg.model, v_pad=v_pad, m_pad=m_pad, group=kc.batch_tile)
+        logits = logits_fn(params, batch).astype(jnp.float32)
+        labels = batch["labels"].astype(jnp.float32)
+        loss = jnp.mean(jnp.maximum(logits, 0) - logits * labels
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        acc = jnp.mean(((logits > 0).astype(jnp.float32) == labels)
+                       .astype(jnp.float32))
+        return loss, {"loss": loss, "accuracy": acc, "logits": logits}
+    return tsp_sparse.loss_fn_sparse(
+        params, batch, cfg.model, v_pad=v_pad, m_pad=m_pad,
+        use_pallas=kc.use_pallas, tile_e=kc.tile_e)
+
+
 def _step(params, opt_state, batch, cfg: Config):
     def loss(p):
         if cfg.train.bf16:
             # mixed precision: f32 master params, bf16 compute (grads flow
             # back through the cast to the f32 masters) [B:L10]
-            return tsp.loss_fn(_cast_bf16(p), _cast_bf16(batch), cfg.model)
-        return tsp.loss_fn(p, batch, cfg.model)
+            return _model_loss(_cast_bf16(p), _cast_bf16(batch), cfg)
+        return _model_loss(p, batch, cfg)
     (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
     updates, opt_state = make_optimizer(cfg).update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -115,9 +141,20 @@ class Curriculum:
         return {"cur_n_min": lo, "cur_n_max": hi, "cur_deviation": dev}
 
 
+def build_batch(insts, deviation: float, pad_n: int,
+                layout: str = "dense") -> Dict[str, np.ndarray]:
+    """Instances -> feed-ready batch in the requested layout."""
+    if layout == "dense":
+        return make_dense_batch(insts, deviation, pad_n)
+    from tsp_gnn_tpu.models.tsp_sparse import block_batch_arrays
+    from tsp_gnn_tpu.ops.layout import build_uniform_block_graph
+    return block_batch_arrays(build_uniform_block_graph(insts, deviation,
+                                                        pad_n))
+
+
 def batch_stream(cfg: Config, seed: int, curriculum: Optional[Curriculum] = None,
                  epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-    """On-the-fly instance generation -> dense padded batches."""
+    """On-the-fly instance generation -> feed-ready batches."""
     d = cfg.data
     lo, hi, dev = (curriculum.at_epoch(epoch) if curriculum
                    else (d.n_min, d.n_max, d.deviation))
@@ -127,7 +164,7 @@ def batch_stream(cfg: Config, seed: int, curriculum: Optional[Curriculum] = None
         insts = [generator.generate_instance(
             rng, int(rng.integers(lo, hi + 1)), d.solver, d.two_opt_restarts)
             for _ in range(d.batch_size)]
-        yield make_dense_batch(insts, dev, pad_n)
+        yield build_batch(insts, dev, pad_n, cfg.train.layout)
 
 
 def edges_per_step(batch: Dict[str, np.ndarray], tmax: int) -> int:
@@ -187,9 +224,15 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
         if file_loader is not None:
             # curricula over deviation AND size apply to file batches [B:L8]
             _, n_hi, dev = cur.at_epoch(epoch)
-            file_loader.deviation = dev
             file_loader.max_n = n_hi if n_hi < cfg.data.n_max else None
-            stream = iter(file_loader.get_batches(cfg.data.batch_size))
+
+            def fresh_stream():
+                return (build_batch(chunk, dev, file_loader.pad_n,
+                                    cfg.train.layout)
+                        for chunk in file_loader.get_instance_batches(
+                            cfg.data.batch_size))
+
+            stream = fresh_stream()
         else:
             stream = batch_stream(cfg, seed + epoch, cur, epoch)
         t_epoch = time.time()
@@ -201,8 +244,13 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             try:
                 return next(stream)
             except StopIteration:  # file loader exhausted: reshuffle + cycle
-                stream = iter(file_loader.get_batches(cfg.data.batch_size))
-                return next(stream)
+                stream = fresh_stream()
+                try:
+                    return next(stream)
+                except StopIteration:
+                    raise RuntimeError(
+                        f"dataset at {data_path} has fewer instances than "
+                        f"batch_size={cfg.data.batch_size}") from None
 
         assert cfg.train.batches_per_epoch % chunk == 0
 
@@ -274,15 +322,24 @@ def main(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of one steady-state "
                         "chunk into this directory")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute with f32 master params [B:L10]")
+    p.add_argument("--layout", choices=["dense", "sparse"], default=None,
+                   help="batch layout: dense padded or block-diagonal "
+                        "sparse (Pallas kernels / fused rollout)")
     args = p.parse_args(argv)
+    import dataclasses
     cfg = get_config(args.preset)
     if args.batch_size:
-        import dataclasses
         cfg = cfg.replace(data=dataclasses.replace(cfg.data,
                                                    batch_size=args.batch_size))
     if args.tmax:
-        import dataclasses
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
+    if args.bf16:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, bf16=True))
+    if args.layout:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    layout=args.layout))
     train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
           curriculum_ramp=args.curriculum_ramp, data_path=args.data_path,
           dev_start=args.dev_start, chunk=args.chunk,

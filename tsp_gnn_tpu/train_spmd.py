@@ -51,6 +51,13 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
     opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip),
                       optax.adam(cfg.train.lr))
     opt_state = opt.init(params)
+    start_epoch = 0
+    latest = ckpt.latest_checkpoint(os.path.join(log_dir, "checkpoints"))
+    if cfg.train.resume and latest:
+        state = ckpt.load_checkpoint(latest)
+        params, opt_state = state["params"], state["opt_state"]
+        start_epoch = state["epoch"] + 1
+        logger.log(event="resume", checkpoint=latest, epoch=start_epoch)
 
     # fix m_pad so the graph axis divides it into legal kernel tiles
     probe = layout.build_uniform_block_graph(
@@ -68,10 +75,10 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
     params = jax.device_put(params, repl)
     opt_state = jax.device_put(opt_state, repl)
 
-    rng = np.random.default_rng(seed + 1)
+    rng = np.random.default_rng(seed + 1 + start_epoch)
     final = {}
     epochs = epochs if epochs is not None else cfg.train.epochs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, accs = [], []
         for _ in range(steps_per_epoch):
@@ -91,10 +98,13 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                            train_loss=float(np.mean(losses)),
                            train_acc=float(np.mean(accs)),
                            epoch_s=time.time() - t0)
-        ckpt.save_checkpoint(
-            os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.pkl"),
-            {"params": params, "opt_state": opt_state, "epoch": epoch,
-             "step": (epoch + 1) * steps_per_epoch, "seed": seed})
+        # pickle checkpoints are single-writer: only process 0 saves (use
+        # utils.checkpoint.save_checkpoint_orbax for sharded multi-host saves)
+        if topo["process_index"] == 0:
+            ckpt.save_checkpoint(
+                os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.pkl"),
+                {"params": params, "opt_state": opt_state, "epoch": epoch,
+                 "step": (epoch + 1) * steps_per_epoch, "seed": seed})
     logger.close()
     return {"params": params, "metrics": final}
 
