@@ -100,3 +100,19 @@ def test_launcher_initialize_single_process():
     topo = initialize()
     assert topo["process_count"] == 1
     assert topo["local_devices"] >= 1
+
+
+def test_find_best_checkpoint(tmp_path):
+    from tsp_gnn_tpu.utils.checkpoint import find_best_checkpoint, save_checkpoint
+    log = tmp_path / "run"
+    (log / "checkpoints").mkdir(parents=True)
+    for e in (0, 1, 2):
+        save_checkpoint(str(log / "checkpoints" / f"ckpt_{e}.pkl"),
+                        {"epoch": e})
+    rows = [{"event": "epoch", "epoch": 0, "eval_acc": 0.6},
+            {"event": "epoch", "epoch": 1, "eval_acc": 0.9},
+            {"event": "epoch", "epoch": 2, "eval_acc": 0.7}]
+    import json as _json
+    (log / "metrics.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows))
+    assert find_best_checkpoint(str(log)).endswith("ckpt_1.pkl")

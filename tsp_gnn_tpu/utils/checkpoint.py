@@ -56,6 +56,32 @@ def load_checkpoint_orbax(path: str, like: Optional[Dict[str, Any]] = None):
     return ckptr.restore(path, like) if like is not None else ckptr.restore(path)
 
 
+def find_best_checkpoint(log_dir: str, metric: str = "eval_acc",
+                         prefix: str = "ckpt_") -> Optional[str]:
+    """Pick the checkpoint of the best-`metric` epoch from metrics.jsonl
+    (falls back to the latest when metrics are missing)."""
+    import json
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+    if not os.path.exists(metrics_path):
+        return latest_checkpoint(ckpt_dir, prefix)
+    best_epoch, best_val = None, -float("inf")
+    with open(metrics_path) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if row.get("event") == "epoch" and metric in row:
+                path = os.path.join(ckpt_dir,
+                                    f"{prefix}{int(row['epoch'])}.pkl")
+                if row[metric] >= best_val and os.path.exists(path):
+                    best_epoch, best_val = int(row["epoch"]), row[metric]
+    if best_epoch is None:
+        return latest_checkpoint(ckpt_dir, prefix)
+    return os.path.join(ckpt_dir, f"{prefix}{best_epoch}.pkl")
+
+
 def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
     if not os.path.isdir(directory):
         return None
