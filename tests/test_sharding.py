@@ -68,3 +68,27 @@ def test_dryrun_multichip_entry():
     """The driver's dryrun path executes on the fake mesh."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_loss_with_pallas_kernels_interpret():
+    """Pallas SpMM kernels inside shard_map (interpret mode, 2x2 mesh)."""
+    cfg, params, insts, g = _setup(n_inst=2, tmax=3, d=16)
+    gp = 2
+    m_new = ((g.m_pad + gp * 128 - 1) // (gp * 128)) * gp * 128
+    gpad = layout.pad_uniform_edges(g, m_new)
+    batch = halo.shard_batch_arrays(gpad)
+    mesh = make_mesh(2, gp)
+    loss_fn = halo.make_sharded_loss(cfg, mesh, v_pad=g.v_pad,
+                                     m_pad=gpad.m_pad, use_pallas=True,
+                                     interpret=True, tile_e=128)
+    specs = halo.batch_specs()
+    jb = {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
+          for k, v in batch.items()}
+    rparams = jax.device_put(params, NamedSharding(mesh, P()))
+    loss_pallas, _ = jax.jit(loss_fn)(rparams, jb)
+
+    ref_fn = halo.make_sharded_loss(cfg, mesh, v_pad=g.v_pad,
+                                    m_pad=gpad.m_pad, use_pallas=False)
+    loss_ref, _ = jax.jit(ref_fn)(rparams, jb)
+    np.testing.assert_allclose(float(loss_pallas), float(loss_ref),
+                               rtol=1e-4, atol=1e-6)
