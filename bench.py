@@ -6,22 +6,46 @@ backward + Adam) on the attached chip and reports edge-updates per second
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline: BASELINE.json has no published throughput ("published": {},
-SURVEY §6) — reported as the ratio to the previous round's recorded value
-(BENCH_r*.json) when present, else 1.0.
+SURVEY §6) — reported as the ratio to PERF.md's honest round-1 hand
+measurement (~11M edge-updates/s steady-state) so the ratio tracks real
+progress instead of round-1's bogus artifact (VERDICT Weak #1).
+
+Measurement discipline (VERDICT "Next round" #2):
+  * every timed dispatch is forced to a TRUE host sync by pulling one
+    updated-parameter leaf to host memory via np.asarray — the axon
+    backend's block_until_ready on a donated chain's loss under-waited and
+    produced a 33x-over-speed-of-light number in round 1;
+  * a physical-plausibility guard computes achieved TFLOP/s from an
+    analytical per-step FLOP count and HARD-FAILS (exit 1) if it exceeds
+    the chip's peak (utils/profiling.py roofline constants).
 """
-import glob
 import json
 import os
-import re
 import sys
 import time
 
+# Honest round-1 steady-state reference (PERF.md "Headline"): the ratio
+# baseline for vs_baseline until a published number exists.
+R1_HONEST_EDGES_PER_S = 11e6
+
+
+def dense_flops_per_step(B: int, n: int, m: int, d: int, tmax: int,
+                         mlp_depth: int = 3, remat: bool = True) -> float:
+    """Analytical FLOPs of one optimizer step on the dense-padded path.
+
+    Per problem per MP iteration: message MLPs (depth x 2*d^2 per element on
+    m edges + n vertices), LSTM linears (2d->4d: 16*d^2 per element), and the
+    two incidence einsums (2*m*n*d each direction).  Backward ~2x forward;
+    remat re-runs the forward once more.
+    """
+    per_iter = (2 * mlp_depth + 16) * d * d * (m + n) + 4 * m * n * d
+    fwd = B * tmax * per_iter
+    mult = 3.0 + (1.0 if remat else 0.0)   # fwd + 2x bwd (+ remat fwd)
+    return fwd * mult
+
 
 def main():
-    import dataclasses
-
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from tsp_gnn_tpu import train as tr
@@ -29,7 +53,10 @@ def main():
     from tsp_gnn_tpu.data import generator
     from tsp_gnn_tpu.data.loader import make_dense_batch
     from tsp_gnn_tpu.models import tsp
+    from tsp_gnn_tpu.utils import profiling
+    from tsp_gnn_tpu.utils.system import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = get_config("n40")  # n in [20,40], batch 128 instances, tmax 32
     n_pad = cfg.data.pad_n
     rng = np.random.default_rng(0)
@@ -39,43 +66,62 @@ def main():
         rng, int(rng.integers(cfg.data.n_min, cfg.data.n_max + 1)),
         "two_opt", restarts=1) for _ in range(cfg.data.batch_size)]
     batch = make_dense_batch(insts, cfg.data.deviation, n_pad)
-    jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
     params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
     opt_state = tr.make_optimizer(cfg).init(params)
 
     # production path: CHUNK optimizer steps per dispatch (train.py --chunk)
     chunk = int(os.environ.get("BENCH_CHUNK", "8"))
-    stacked = {k: jnp.asarray(np.stack([v] * chunk)) for k, v in batch.items()}
+    stacked = tr.device_batch({k: np.stack([v] * chunk)
+                               for k, v in batch.items()})
+
+    def sync(p):
+        """TRUE sync: pull one updated-param leaf into host memory — the
+        leaf depends on the entire fwd+bwd+Adam chain, so the transfer
+        cannot complete before the device work has."""
+        leaf = jax.tree.leaves(p)[0]
+        np.asarray(leaf)
 
     # warmup / compile
     params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
-    jax.block_until_ready(m["loss"])
+    sync(params)
 
-    iters = int(os.environ.get("BENCH_STEPS", "40")) // chunk
-    # block EVERY dispatch: on the axon backend a block on the final loss of
-    # a donated chain does not reliably wait for the whole chain, which
-    # produced a ~100x-inflated first measurement.
+    iters = max(1, int(os.environ.get("BENCH_STEPS", "40")) // chunk)
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
-        jax.block_until_ready(m["loss"])
+        sync(params)
     dt = time.perf_counter() - t0
 
     edge_updates = int(batch["n_edges"].sum()) * cfg.model.tmax * chunk * iters
     eps = edge_updates / dt
 
-    prev = None
-    for f in sorted(glob.glob("BENCH_r*.json")):
-        try:
-            rec = json.load(open(f))
-            if rec.get("metric", "").startswith("edges_per_s"):
-                prev = rec["value"]
-        except Exception:
-            pass
-    vs = (eps / prev) if prev else 1.0
+    # ---- physical-plausibility guard (VERDICT Weak #1) ----
+    B = int(batch["labels"].shape[0])
+    m_pad = int(batch["W"].shape[1])
+    flops_step = dense_flops_per_step(B, n_pad, m_pad, cfg.model.d,
+                                      cfg.model.tmax,
+                                      mlp_depth=cfg.model.mlp_depth,
+                                      remat=cfg.model.remat)
+    achieved_flops = flops_step * chunk * iters / dt
+    peak = (profiling.V5E_PEAK_BF16_FLOPS if cfg.train.bf16
+            else profiling.V5E_PEAK_F32_FLOPS)
+    if achieved_flops > peak:
+        print(json.dumps({
+            "metric": "edges_per_s_per_chip", "value": None,
+            "unit": "edge-updates/s", "vs_baseline": None,
+            "error": f"IMPLAUSIBLE: {achieved_flops/1e12:.1f} TFLOP/s "
+                     f"> chip peak {peak/1e12:.0f} — timing under-waited",
+        }))
+        sys.exit(1)
+    print(f"[bench] {eps/1e6:.2f}M edge-updates/s | "
+          f"{achieved_flops/1e12:.2f} TFLOP/s "
+          f"({100*achieved_flops/peak:.1f}% of peak) | "
+          f"step {dt/iters/chunk*1e3:.1f} ms", file=sys.stderr)
+
     print(json.dumps({"metric": "edges_per_s_per_chip", "value": eps,
-                      "unit": "edge-updates/s", "vs_baseline": round(vs, 4)}))
+                      "unit": "edge-updates/s",
+                      "vs_baseline": round(eps / R1_HONEST_EDGES_PER_S, 4)}))
 
 
 if __name__ == "__main__":

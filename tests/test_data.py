@@ -115,4 +115,70 @@ def test_instance_loader_batches(tmp_path):
     generator.save_shard(str(tmp_path / "s0.npz"), insts[:4])
     generator.save_shard(str(tmp_path / "s1.npz"), insts[4:])
     loader2 = InstanceLoader(str(tmp_path), deviation=0.02)
-    assert len(loader2.instances) == 8
+    assert loader2.instances is None          # directories stream lazily
+    assert sum(len(b) for b in loader2.get_instance_batches(4)) == 8
+    assert loader2.pad_n == 10                # inferred by peeking a shard
+
+
+def test_lazy_loader_streams_directory(tmp_path):
+    """Directory sources stream shards lazily: nothing materialised, new
+    shards written between passes are picked up (generation-in-flight)."""
+    from tsp_gnn_tpu.data import generator
+    from tsp_gnn_tpu.data.loader import InstanceLoader
+    rng = np.random.default_rng(0)
+    insts = [generator.generate_instance(rng, 8, "held_karp")
+             for _ in range(12)]
+    generator.save_shard(str(tmp_path / "shard_00000.npz"), insts[:6])
+    generator.save_shard(str(tmp_path / "shard_00001.npz"), insts[6:])
+    loader = InstanceLoader(str(tmp_path), pad_n=8, shuffle_seed=1)
+    assert loader.instances is None          # lazy: not materialised
+    got = list(loader.get_instance_batches(4))
+    assert sum(len(b) for b in got) == 12
+    assert all(len(b) == 4 for b in got)
+    # a shard landing between passes is visible to the next pass
+    more = [generator.generate_instance(rng, 8, "held_karp")
+            for _ in range(4)]
+    generator.save_shard(str(tmp_path / "shard_00002.npz"), more)
+    got2 = list(loader.get_instance_batches(4))
+    assert sum(len(b) for b in got2) == 16
+    # unreadable shard (mid-write) is skipped, not fatal
+    (tmp_path / "shard_00003.npz").write_bytes(b"not a zip")
+    got3 = list(loader.get_instance_batches(4))
+    assert sum(len(b) for b in got3) == 16
+
+
+def test_lazy_loader_max_n_curriculum(tmp_path):
+    from tsp_gnn_tpu.data import generator
+    from tsp_gnn_tpu.data.loader import InstanceLoader
+    rng = np.random.default_rng(0)
+    insts = ([generator.generate_instance(rng, 6, "held_karp")
+              for _ in range(6)]
+             + [generator.generate_instance(rng, 10, "held_karp")
+                for _ in range(6)])
+    generator.save_shard(str(tmp_path / "shard_00000.npz"), insts)
+    loader = InstanceLoader(str(tmp_path), pad_n=10)
+    loader.max_n = 6
+    got = list(loader.get_instance_batches(3))
+    assert sum(len(b) for b in got) == 6
+    assert all(int(i["n"]) <= 6 for b in got for i in b)
+    # curriculum floor: a cap below every instance must not stall
+    loader.max_n = 4
+    got = list(loader.get_instance_batches(3))
+    assert sum(len(b) for b in got) == 12
+    assert loader.max_n == 4                 # restored after fallback
+
+
+def test_parallel_instance_batches_deterministic():
+    """Process-pool stream: deterministic per-batch seeds, bounded in-flight."""
+    from tsp_gnn_tpu.data.pipeline import parallel_instance_batches
+    import itertools
+    a = list(itertools.islice(parallel_instance_batches(
+        5, 3, 7, 9, "held_karp", workers=2, depth=2), 3))
+    b = list(itertools.islice(parallel_instance_batches(
+        5, 3, 7, 9, "held_karp", workers=2, depth=3), 3))
+    assert len(a) == 3 and all(len(x) == 3 for x in a)
+    for ba, bb in zip(a, b):
+        for ia, ib in zip(ba, bb):
+            assert ia["n"] == ib["n"]
+            np.testing.assert_allclose(ia["W"], ib["W"])
+            np.testing.assert_allclose(ia["opt_cost"], ib["opt_cost"])

@@ -116,3 +116,46 @@ def test_find_best_checkpoint(tmp_path):
     (log / "metrics.jsonl").write_text(
         "\n".join(_json.dumps(r) for r in rows))
     assert find_best_checkpoint(str(log)).endswith("ckpt_1.pkl")
+
+
+def test_launcher_single_host_hostnames_env(monkeypatch):
+    """Cloud TPU VMs set TPU_WORKER_HOSTNAMES even on single-host slices;
+    its mere presence must not trigger jax.distributed.initialize() after
+    the backend is live (the round-1 in-suite failure)."""
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    from tsp_gnn_tpu.parallel.launcher import initialize
+    topo = initialize()
+    assert topo["process_count"] == 1
+
+
+def test_launcher_ordering_error(monkeypatch):
+    """A genuinely multi-host env var set AFTER backend init must raise the
+    clear ordering error, not abort deep inside jax.distributed."""
+    import jax
+    jax.devices()  # ensure a backend exists
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    from tsp_gnn_tpu.parallel.launcher import initialize
+    with pytest.raises(RuntimeError, match="before any JAX backend"):
+        initialize()
+
+
+def test_launcher_auto_init_subprocess():
+    """Fresh interpreter: initialize() before any backend touch succeeds
+    with single-host auto-detection, then jax comes up normally."""
+    import subprocess
+    import sys
+    code = (
+        "from tsp_gnn_tpu.parallel import launcher\n"
+        "t = launcher.initialize()\n"
+        "assert t['process_count'] == 1, t\n"
+        "import jax\n"
+        "assert jax.device_count() >= 1\n"
+        "print('LAUNCHER_OK')\n"
+    )
+    env = dict(os.environ, TPU_WORKER_HOSTNAMES="localhost",
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=180, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert "LAUNCHER_OK" in r.stdout, r.stderr[-2000:]

@@ -44,6 +44,10 @@ class DataConfig:
     solver: str = "auto"             # "auto" | "held_karp" | "two_opt" | "cpp"
     two_opt_restarts: int = 4
     seed: int = 0
+    stream_workers: int = 0          # >0: label the on-the-fly training
+                                     # stream in a process pool (the ILS
+                                     # solver must stay off the dispatch
+                                     # critical path)
     # batching
     batch_size: int = 16             # instances per batch (paper: 16)
     # padded dense layout: instances padded to pad_n vertices

@@ -71,8 +71,13 @@ def save_shard(path: str, instances: List[Dict]) -> None:
     pathologically slow at 8k instances/shard)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     ns = np.asarray([int(i["n"]) for i in instances], np.int32)
+    # atomic write (tmp + rename): a training run streams shards from this
+    # directory while generation is still in flight (lazy InstanceLoader)
+    d, base = os.path.split(path)
+    tmp = os.path.join(d, f".{base}.tmp.npz")  # dot-prefixed: invisible to
+    # the loader's *.npz glob until the atomic rename below
     np.savez_compressed(
-        path,
+        tmp,
         format=np.int32(2),
         n=ns,
         opt_cost=np.asarray([i["opt_cost"] for i in instances], np.float32),
@@ -80,6 +85,7 @@ def save_shard(path: str, instances: List[Dict]) -> None:
         W=np.concatenate([i["W"] for i in instances]),
         tour=np.concatenate([i["tour"] for i in instances]),
     )
+    os.replace(tmp, path)
 
 
 def load_shard(path: str) -> List[Dict]:

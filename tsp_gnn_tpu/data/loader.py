@@ -79,35 +79,104 @@ def make_dense_batch(instances: List[Dict], deviation: float,
 
 class InstanceLoader:
     """Reference-parity loader API [SURVEY §1 L1]: wraps a list of instances
-    (or a directory of shards / .graph files) and yields feed-ready batches."""
+    (or a directory of shards / .graph files) and yields feed-ready batches.
+
+    Directory sources STREAM lazily (VERDICT r1 "Next round" #7): shards are
+    re-listed at the start of every pass (so a still-running generator's new
+    shards are picked up), loaded one at a time, and mixed through a
+    fixed-size shuffle buffer — the 2^20-instance paper training set never
+    materialises in host RAM.  List sources keep the simple in-memory path.
+    """
+
+    SHUFFLE_BUFFER = 8192   # instances held for mixing on the lazy path
 
     def __init__(self, source, deviation: float = 0.02,
                  pad_n: Optional[int] = None, shuffle_seed: int = 0):
-        from tsp_gnn_tpu.data import fileio, generator
+        from tsp_gnn_tpu.data import generator
+        import os
+        self._dir: Optional[str] = None
+        self.instances: Optional[list] = None
         if isinstance(source, str):
-            import glob
-            import os
             if os.path.isdir(source):
-                insts = []
-                for p in sorted(glob.glob(os.path.join(source, "*.npz"))):
-                    insts.extend(generator.load_shard(p))
-                for p in sorted(glob.glob(os.path.join(source, "*.graph"))):
-                    insts.append(fileio.read_graph(p))
-                self.instances = insts
+                self._dir = source
+                assert self._shard_paths(), f"no instances found in {source}"
+                if pad_n is None:
+                    # peek one shard rather than scanning the whole set
+                    first = generator.load_shard(self._shard_paths()[0])
+                    pad_n = max(int(i["n"]) for i in first)
             else:
                 self.instances = generator.load_shard(source)
         else:
             self.instances = list(source)
-        assert self.instances, "no instances found"
+        if self.instances is not None:
+            assert self.instances, "no instances found"
         self.deviation = deviation
         self.pad_n = pad_n or max(int(i["n"]) for i in self.instances)
         self.max_n: Optional[int] = None   # size curriculum [B:L8]: cap n
         self._rng = np.random.default_rng(shuffle_seed)
 
+    def _shard_paths(self) -> list:
+        import glob
+        import os
+        return sorted(glob.glob(os.path.join(self._dir, "*.npz")))
+
+    def _iter_instances_lazy(self) -> Iterator[Dict]:
+        """One pass over the directory: fresh shard listing, shuffled shard
+        order, one shard resident at a time.  Unreadable shards (e.g. a file
+        the generator is mid-write) are skipped, not fatal."""
+        from tsp_gnn_tpu.data import fileio, generator
+        import glob
+        import os
+        paths = self._shard_paths()
+        self._rng.shuffle(paths)
+        for p in paths:
+            try:
+                insts = generator.load_shard(p)
+            except Exception:
+                continue
+            idx = self._rng.permutation(len(insts))
+            for j in idx:
+                yield insts[int(j)]
+        for p in sorted(glob.glob(os.path.join(self._dir, "*.graph"))):
+            yield fileio.read_graph(p)
+
+    def _lazy_batches(self, batch_size: int, shuffle: bool) -> Iterator[list]:
+        buf: list = []
+        filt_n = self.max_n
+        yielded = 0
+        for inst in self._iter_instances_lazy():
+            if filt_n is not None and int(inst["n"]) > filt_n:
+                continue
+            buf.append(inst)
+            if len(buf) >= max(self.SHUFFLE_BUFFER, batch_size):
+                if shuffle:
+                    self._rng.shuffle(buf)
+                while len(buf) >= batch_size + self.SHUFFLE_BUFFER // 2:
+                    yield buf[:batch_size]
+                    del buf[:batch_size]
+                    yielded += 1
+        if shuffle:
+            self._rng.shuffle(buf)
+        while len(buf) >= batch_size:
+            yield buf[:batch_size]
+            del buf[:batch_size]
+            yielded += 1
+        if yielded == 0 and filt_n is not None:
+            # curriculum floor (matches the in-memory path): a max_n cap that
+            # filters out everything must not stall training
+            self.max_n = None
+            try:
+                yield from self._lazy_batches(batch_size, shuffle)
+            finally:
+                self.max_n = filt_n
+
     def get_instance_batches(self, batch_size: int,
                              shuffle: bool = True) -> Iterator[list]:
         """Yield lists of `batch_size` instances, honouring `self.max_n`
         (size curriculum); callers build dense or sparse layouts from them."""
+        if self._dir is not None:
+            yield from self._lazy_batches(batch_size, shuffle)
+            return
         if self.max_n is not None:
             pool = [i for i in self.instances if int(i["n"]) <= self.max_n]
             if len(pool) < batch_size:   # curriculum floor: keep training

@@ -179,4 +179,16 @@ def solve(dist: np.ndarray, method: str = "auto", restarts: int = 4,
         return held_karp(dist)
     if method == "cpp" or (method == "auto" and native.available()):
         return native.solve(dist, restarts=restarts)
+    global _warned_numpy_fallback
+    if method == "auto" and not _warned_numpy_fallback:
+        _warned_numpy_fallback = True
+        import warnings
+        warnings.warn(
+            "C++ labeling solver not built — falling back to the NumPy "
+            "local search, which is orders of magnitude slower at "
+            "production volume (quadratic-Python Or-opt).  Build it with "
+            "`make -C native` for dataset generation.", RuntimeWarning)
     return local_search(dist, restarts=restarts, rng=rng)
+
+
+_warned_numpy_fallback = False

@@ -82,18 +82,34 @@ def _aggregate(M: jnp.ndarray, x: jnp.ndarray, transpose: bool) -> jnp.ndarray:
     return jnp.einsum(eq, M, x, preferred_element_type=x.dtype)
 
 
+def _apply_mask(h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mask broadcast: accepts [..., N] (dense batched) or already
+    feature-broadcastable [..., N, 1] (flat block-diagonal) masks."""
+    if mask.ndim == h.ndim - 1:
+        mask = mask[..., None]
+    return h * mask
+
+
 def tgn_step(
     params: dict,
     spec: TGNSpec,
     matrices: Mapping[str, jnp.ndarray],
     states: Mapping[str, Tuple[jnp.ndarray, jnp.ndarray]],
     masks: Optional[Mapping[str, jnp.ndarray]] = None,
+    aggregate=None,
 ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One synchronous (Jacobi) message-passing iteration.
 
-    states[t] = (c, h) with h: [B, N_t, d_t].  All types read the PREVIOUS
+    states[t] = (c, h) with h: [B, N_t, d_t] (dense batched) or flat
+    [N_total, d_t] (block-diagonal mega-batch).  All types read the PREVIOUS
     iteration's h (reference semantics, SURVEY §2.3 step 3).
-    masks[t]: [B, N_t] zeroing messages emitted by padded lanes.
+    masks[t]: [B, N_t] or [N_total, 1], zeroing messages from padded lanes.
+
+    `aggregate` is the pluggable aggregation backend (VERDICT r1 #5 — ONE
+    step definition for every path): None = dense einsum on matrices[mat];
+    otherwise a callable `aggregate(rule, M, x) -> aggregated` — the Pallas
+    incidence kernels (models/tsp_sparse.make_flat_step) or the shard_mapped
+    halo-exchange variant (parallel/halo) plug in here.
     """
     cell_act = cells.get_activation(spec.cell_activation)
     msg_act = cells.get_activation(spec.msg_activation)
@@ -104,7 +120,7 @@ def tgn_step(
         src, _tgt = spec.msg[mname]
         h_src = states[src][1]
         if masks is not None and src in masks:
-            h_src = h_src * masks[src][..., None]
+            h_src = _apply_mask(h_src, masks[src])
         msgs_out[mname] = mlp.mlp_apply(
             params["msgs"][mname], h_src, hidden_activation=msg_act)
 
@@ -119,11 +135,17 @@ def tgn_step(
                     # mask again post-MLP: MLP biases make padded rows nonzero
                     src_type = spec.msg[rule["msg"]][0]
                     if src_type in masks:
-                        src = src * masks[src_type][..., None]
-                pieces.append(_aggregate(M, src, rule.get("transpose", False)))
+                        src = _apply_mask(src, masks[src_type])
+                if aggregate is not None:
+                    pieces.append(aggregate(rule, M, src))
+                else:
+                    pieces.append(_aggregate(M, src,
+                                             rule.get("transpose", False)))
             else:
-                raw = M if M.ndim == 3 else jnp.broadcast_to(
-                    M[None], states[vtype][1].shape[:1] + M.shape)
+                h_t = states[vtype][1]
+                raw = (M if M.shape[:-1] == h_t.shape[:-1]
+                       else jnp.broadcast_to(M[None],
+                                             h_t.shape[:-1] + M.shape[-1:]))
                 pieces.append(raw)
         cell_in = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, -1)
         _, new_states[vtype] = cells.lstm_apply(
@@ -142,13 +164,14 @@ def tgn_run(
     masks: Optional[Mapping[str, jnp.ndarray]] = None,
     remat: bool = False,
     return_trajectory: bool = False,
+    aggregate=None,
 ):
     """Run tmax iterations via lax.scan (reference: tf.while_loop).
 
     Returns final states; with return_trajectory also {type: h_t stack
     [tmax, B, N, d]} for the oracle allclose tests.
     """
-    step = lambda st: tgn_step(params, spec, matrices, st, masks)
+    step = lambda st: tgn_step(params, spec, matrices, st, masks, aggregate)
     if remat:
         step = jax.checkpoint(step)
 

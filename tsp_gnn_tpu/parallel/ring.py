@@ -47,29 +47,26 @@ def ring_all_reduce(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     chunks = jnp.stack(jnp.split(x, n, axis=0))          # [n, rows/n, ...]
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    # The hop count n-1 is STATIC — plain Python loops keep the schedule
+    # reverse-mode differentiable (fori_loop is not), which the training
+    # path requires; XLA still turns each hop into an async
+    # collective-permute overlapped with the local add.
+
     # reduce-scatter: after n-1 permute+add hops, shard `me` owns the full
     # sum of chunk (me + 1) % n
-    def loop(k, carry):
-        chunks, acc = carry
-        recv = jax.lax.ppermute(acc, axis_name, perm)
-        idx = (me - k - 1 + n) % n
-        return chunks, chunks[idx] + recv
-
     acc = chunks[me]
-    chunks, acc = jax.lax.fori_loop(0, n - 1, loop, (chunks, acc))
+    for k in range(n - 1):
+        recv = jax.lax.ppermute(acc, axis_name, perm)
+        acc = chunks[(me - k - 1 + n) % n] + recv
     # acc = full sum of chunk (me + 1) % n
     owned_idx = (me + 1) % n
 
     # all-gather the reduced chunks around the ring
-    def ag_loop(k, carry):
-        gathered, cur = carry
-        cur = jax.lax.ppermute(cur, axis_name, perm)
-        idx = (owned_idx - k - 1 + n) % n
-        gathered = gathered.at[idx].set(cur)
-        return gathered, cur
-
     gathered = jnp.zeros_like(chunks).at[owned_idx].set(acc)
-    gathered, _ = jax.lax.fori_loop(0, n - 1, ag_loop, (gathered, acc))
+    cur = acc
+    for k in range(n - 1):
+        cur = jax.lax.ppermute(cur, axis_name, perm)
+        gathered = gathered.at[(owned_idx - k - 1 + n) % n].set(cur)
     out = jnp.concatenate(list(gathered), axis=0)
     return out[:rows] if pad else out
 

@@ -158,8 +158,15 @@ def batch_stream(cfg: Config, seed: int, curriculum: Optional[Curriculum] = None
     d = cfg.data
     lo, hi, dev = (curriculum.at_epoch(epoch) if curriculum
                    else (d.n_min, d.n_max, d.deviation))
-    rng = np.random.default_rng(seed)
     pad_n = d.pad_n or d.n_max
+    if d.stream_workers > 0:
+        from tsp_gnn_tpu.data.pipeline import parallel_instance_batches
+        for insts in parallel_instance_batches(
+                seed, d.batch_size, lo, hi, d.solver, d.two_opt_restarts,
+                workers=d.stream_workers):
+            yield build_batch(insts, dev, pad_n, cfg.train.layout)
+        return
+    rng = np.random.default_rng(seed)
     while True:
         insts = [generator.generate_instance(
             rng, int(rng.integers(lo, hi + 1)), d.solver, d.two_opt_restarts)
@@ -329,6 +336,9 @@ def main(argv=None):
                         "sparse (Pallas kernels / fused rollout)")
     args = p.parse_args(argv)
     import dataclasses
+
+    from tsp_gnn_tpu.utils.system import enable_compilation_cache
+    enable_compilation_cache()
     cfg = get_config(args.preset)
     if args.batch_size:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data,

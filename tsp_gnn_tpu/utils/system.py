@@ -10,6 +10,20 @@ import datetime
 import resource
 
 
+def enable_compilation_cache(path: str = ".jax_cache") -> None:
+    """Persistent XLA compilation cache — first compile of the n40 train
+    step through the axon remote-compile service is ~200s (PERF.md); cached
+    recompiles across processes make restarts/evals cheap.  Call before any
+    jit execution; harmless if the backend can't serialize executables."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — older jax: flag names differ; skip
+        pass
+
+
 def timestamp() -> str:
     return datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
 
