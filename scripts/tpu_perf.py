@@ -56,7 +56,10 @@ def main():
     from tsp_gnn_tpu.utils.system import enable_compilation_cache
     enable_compilation_cache()
     assert jax.devices()[0].platform != "cpu", "run on the TPU"
-    K = 20
+    # long chain: each timed dispatch carries ~35ms tunnel latency plus a
+    # ~1.3MB host pull for the sync; K=200 keeps those under 2% of the
+    # chained kernel time so the per-roundtrip number is the kernel's
+    K = 200
 
     def sync_params(p):
         """TRUE host sync: np.asarray on an updated-param leaf (a donated

@@ -28,11 +28,13 @@ from tsp_gnn_tpu.models import mlp
 from tsp_gnn_tpu.models.tgn import TGNSpec, tgn_init, tgn_run
 
 
+@functools.lru_cache(maxsize=64)
 def edge_list(n: int) -> np.ndarray:
     """Lexicographic (u < v) edge enumeration of the complete graph K_n.
 
     This fixed order is the framework's canonical edge layout; the loader and
     all sparse kernels share it.  Returns [m, 2] int32, m = n(n-1)/2.
+    Cached: the loader calls it per instance on the batch-assembly hot path.
     """
     u, v = np.triu_indices(n, k=1)
     return np.stack([u, v], axis=1).astype(np.int32)
