@@ -15,10 +15,14 @@ with the (tested-equivalent) jnp path supplying the backward via
 recomputation, so autodiff correctness is inherited, while eval/inference and
 the forward half of training take the fused path.
 
-Parameter packing (all MLPs are depth-3 d->d, see models/mlp.py sizing):
-  msg_w   [2, 3, d, d]   msg_b [2, 3, d]      (0 = V_msg_E, 1 = E_msg_V)
-  lstm_k  [2, 2d, 4d]                          (0 = V cell, 1 = E cell)
-  ln_g/ln_b [2, 5, d]                          (i, j, f, o, c per cell)
+Parameter packing (all MLPs are depth-3 d->d, see models/mlp.py sizing) —
+ALL 2-D so every VMEM ref is a plain Mosaic-friendly tile (the round-1
+4-D/3-D constant refs tripped the Mosaic verifier; sub-arrays are sliced
+with STATIC row offsets since `which`/`l` are Python-unrolled):
+  msg_w   [6*d, d]   rows [(which*3+l)*d : +d]   (which 0 = V_msg_E, 1 = E_msg_V)
+  msg_b   [6, d]     row which*3+l
+  lstm_k  [2*2d, 4d] rows [which*2d : +2d]
+  ln_g/ln_b [10, d]  row which*5+gate
 """
 from __future__ import annotations
 
@@ -47,21 +51,20 @@ def pack_params(params: dict, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
         return (jnp.stack([layer["w"] for layer in p]).astype(dtype),
                 jnp.stack([layer["b"] for layer in p]).astype(dtype))
 
-    wv, bv = stack_mlp(gnn["msgs"]["V_msg_E"])
+    wv, bv = stack_mlp(gnn["msgs"]["V_msg_E"])        # [3, d, d], [3, d]
     we, be = stack_mlp(gnn["msgs"]["E_msg_V"])
-    lstm_k = jnp.stack([gnn["cells"]["V"]["kernel"],
-                        gnn["cells"]["E"]["kernel"]]).astype(dtype)
+    lstm_k = jnp.concatenate([gnn["cells"]["V"]["kernel"],
+                              gnn["cells"]["E"]["kernel"]],
+                             axis=0).astype(dtype)     # [2*2d, 4d]
     gains, shifts = [], []
     for cell in ("V", "E"):
-        gains.append(jnp.stack([gnn["cells"][cell][f"ln_{g}"]["g"]
-                                for g in cells.GATES]))
-        shifts.append(jnp.stack([gnn["cells"][cell][f"ln_{g}"]["b"]
-                                 for g in cells.GATES]))
+        gains += [gnn["cells"][cell][f"ln_{g}"]["g"] for g in cells.GATES]
+        shifts += [gnn["cells"][cell][f"ln_{g}"]["b"] for g in cells.GATES]
     return {
-        "msg_w": jnp.stack([wv, we]),
-        "msg_b": jnp.stack([bv, be]),
+        "msg_w": jnp.concatenate([wv, we]).reshape(6 * d, d),
+        "msg_b": jnp.concatenate([bv, be]).reshape(6, d),
         "lstm_k": lstm_k,
-        "ln_g": jnp.stack(gains).astype(jnp.float32),
+        "ln_g": jnp.stack(gains).astype(jnp.float32),   # [10, d]
         "ln_b": jnp.stack(shifts).astype(jnp.float32),
     }
 
@@ -74,24 +77,33 @@ def _ln(x, g, b, eps):
 
 
 def _mlp(x, w_ref, b_ref, which, depth=3):
+    d = x.shape[-1]
     for l in range(depth):
-        x = jnp.dot(x, w_ref[which, l], preferred_element_type=jnp.float32
-                    ).astype(x.dtype) + b_ref[which, l]
+        w = w_ref[(which * depth + l) * d:(which * depth + l + 1) * d, :]
+        b = b_ref[which * depth + l, :][None, :].astype(x.dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32
+                    ).astype(x.dtype) + b
         if l < depth - 1:
             x = jnp.maximum(x, 0)
     return x
 
 
 def _lstm(z_in, h, c, k_ref, g_ref, b_ref, which, act, forget_bias, eps):
-    z = jnp.dot(jnp.concatenate([z_in, h], axis=-1), k_ref[which],
-                preferred_element_type=jnp.float32).astype(z_in.dtype)
     d = h.shape[-1]
-    i = _ln(z[:, 0 * d:1 * d], g_ref[which, 0], b_ref[which, 0], eps)
-    j = _ln(z[:, 1 * d:2 * d], g_ref[which, 1], b_ref[which, 1], eps)
-    f = _ln(z[:, 2 * d:3 * d], g_ref[which, 2], b_ref[which, 2], eps)
-    o = _ln(z[:, 3 * d:4 * d], g_ref[which, 3], b_ref[which, 3], eps)
+    k = k_ref[which * 2 * d:(which + 1) * 2 * d, :]
+    z = jnp.dot(jnp.concatenate([z_in, h], axis=-1), k,
+                preferred_element_type=jnp.float32).astype(z_in.dtype)
+
+    def ln_gate(x, gate):
+        row = which * 5 + gate
+        return _ln(x, g_ref[row, :][None, :], b_ref[row, :][None, :], eps)
+
+    i = ln_gate(z[:, 0 * d:1 * d], 0)
+    j = ln_gate(z[:, 1 * d:2 * d], 1)
+    f = ln_gate(z[:, 2 * d:3 * d], 2)
+    o = ln_gate(z[:, 3 * d:4 * d], 3)
     new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * act(j)
-    ln_c = _ln(new_c, g_ref[which, 4], b_ref[which, 4], eps)
+    ln_c = ln_gate(new_c, 4)
     new_h = act(ln_c) * jax.nn.sigmoid(o)
     return new_h, new_c
 
@@ -102,8 +114,11 @@ def _rollout_kernel(src_ref, tgt_ref, em_ref, vm_ref, hv0_ref, he0_ref,
                     tmax, v_pad, m_pad, group, cell_act, forget_bias, eps):
     act = {"relu": lambda x: jnp.maximum(x, 0), "tanh": jnp.tanh}[cell_act]
     rows = m_pad // TILE
-    vm = vm_ref[:]
-    em_col = em_ref[:].reshape(group * m_pad, 1)
+    # uniform compute dtype: implicit f32xbf16 promotion inside the kernel
+    # produced Mosaic broadcast-verifier failures
+    dtype = hv0_ref.dtype
+    vm = vm_ref[:].astype(dtype)
+    em_col = em_ref[:].reshape(group * m_pad, 1).astype(dtype)
 
     def one_hot(p, r, dtype):
         vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
@@ -164,9 +179,8 @@ def fused_rollout(src2, tgt2, em2, vert_mask, h_v0, h_e0, packed, *,
         group //= 2
     rows = m_pad // TILE
     grid = (num_problems // group,)
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0) if len(shape) == 2
-                                       else (0, 0, 0) if len(shape) == 3
-                                       else (0, 0, 0, 0),
+    # all parameter blocks are 2-D tiles (see packing note in the docstring)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _rollout_kernel, tmax=tmax, v_pad=v_pad, m_pad=m_pad, group=group,
