@@ -334,6 +334,10 @@ def main(argv=None):
     p.add_argument("--layout", choices=["dense", "sparse"], default=None,
                    help="batch layout: dense padded or block-diagonal "
                         "sparse (Pallas kernels / fused rollout)")
+    p.add_argument("--eval-instances", type=int, default=64,
+                   help="held-out eval-set size (per-epoch eval_acc; "
+                        "64 is noisy — checkpoint selection benefits from "
+                        "more)")
     args = p.parse_args(argv)
     import dataclasses
 
@@ -353,7 +357,7 @@ def main(argv=None):
     train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
           curriculum_ramp=args.curriculum_ramp, data_path=args.data_path,
           dev_start=args.dev_start, chunk=args.chunk,
-          profile_dir=args.profile_dir)
+          profile_dir=args.profile_dir, eval_instances=args.eval_instances)
 
 
 if __name__ == "__main__":
