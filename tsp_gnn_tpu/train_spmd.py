@@ -54,9 +54,19 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                       optax.adam(cfg.train.lr))
     opt_state = opt.init(params)
     start_epoch = 0
-    latest = ckpt.latest_checkpoint(os.path.join(log_dir, "checkpoints"))
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    latest = ckpt.latest_checkpoint(ckpt_dir)
+    # multi-host saves are .orbax directories; prefer whichever is newest
+    orbax_cands = ([f for f in os.listdir(ckpt_dir) if f.endswith(".orbax")]
+                   if os.path.isdir(ckpt_dir) else [])
+    if orbax_cands:
+        newest = max(orbax_cands, key=lambda f: int(f[5:-6]))
+        if latest is None or int(newest[5:-6]) > int(
+                os.path.basename(latest)[5:-4]):
+            latest = os.path.join(ckpt_dir, newest)
     if cfg.train.resume and latest:
-        state = ckpt.load_checkpoint(latest)
+        state = (ckpt.load_checkpoint_orbax(latest)
+                 if latest.endswith(".orbax") else ckpt.load_checkpoint(latest))
         params, opt_state = state["params"], state["opt_state"]
         start_epoch = state["epoch"] + 1
         logger.log(event="resume", checkpoint=latest, epoch=start_epoch)
@@ -100,13 +110,18 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                            train_loss=float(np.mean(losses)),
                            train_acc=float(np.mean(accs)),
                            epoch_s=time.time() - t0)
-        # pickle checkpoints are single-writer: only process 0 saves (use
-        # utils.checkpoint.save_checkpoint_orbax for sharded multi-host saves)
-        if topo["process_index"] == 0:
+        state = {"params": params, "opt_state": opt_state, "epoch": epoch,
+                 "step": (epoch + 1) * steps_per_epoch, "seed": seed}
+        if topo["process_count"] > 1:
+            # multi-host: orbax sharded save — every host writes its shards,
+            # all hosts participate (pickle is single-writer)
+            ckpt.save_checkpoint_orbax(
+                os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.orbax"),
+                state)
+        elif topo["process_index"] == 0:
             ckpt.save_checkpoint(
                 os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.pkl"),
-                {"params": params, "opt_state": opt_state, "epoch": epoch,
-                 "step": (epoch + 1) * steps_per_epoch, "seed": seed})
+                state)
     logger.close()
     return {"params": params, "metrics": final}
 
