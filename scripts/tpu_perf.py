@@ -207,10 +207,11 @@ def big_shapes():
 
     # ---- large_batch (configs[3]): 4096 instances, fused, bf16 ----
     cfg = get_config("large_batch")
+    lb_insts = int(os.environ.get("TPU_PERF_LB_INSTS", "4096"))
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     insts = [generator.generate_instance(
-        rng, int(rng.integers(20, 41)), "two_opt", 1) for _ in range(4096)]
+        rng, int(rng.integers(20, 41)), "two_opt", 1) for _ in range(lb_insts)]
     g = layout.build_uniform_block_graph(insts, 0.02, 40)
     batch = tr.device_batch(tsp_sparse.block_batch_arrays(g))
     emit(kind="large_batch_host_assembly", s=time.perf_counter() - t0,
@@ -227,30 +228,31 @@ def big_shapes():
             p, o, m = tr.train_step(p, o, batch, cfg)
             sync_params(p)
         dt = (time.perf_counter() - t0) / iters
-        emit(kind="train_step", variant="large_batch_fused_bf16", ms=dt * 1e3,
-             edges_per_s=edges / dt, loss=float(m["loss"]))
+        emit(kind="train_step", variant=f"large_batch_bf16_{lb_insts}",
+             ms=dt * 1e3, edges_per_s=edges / dt, loss=float(m["loss"]))
     except Exception as e:  # noqa: BLE001
-        emit(kind="train_step", variant="large_batch_fused_bf16",
+        emit(kind="train_step", variant=f"large_batch_bf16_{lb_insts}",
              error=str(e)[:300])
 
     # ---- pad_n=200 halo step, graph=1, vs unpartitioned (configs[4]) ----
     mcfg = get_config("multihost")
+    n_inst = int(os.environ.get("TPU_PERF_P200_INSTS", "32"))
     rng = np.random.default_rng(1)
     insts = [generator.generate_instance(rng, int(rng.integers(100, 201)),
-                                         "two_opt", 1) for _ in range(32)]
+                                         "two_opt", 1) for _ in range(n_inst)]
     g = layout.build_uniform_block_graph(insts, 0.02, 200)
     m_pad = ((g.m_pad + 1023) // 1024) * 1024
     g = layout.pad_uniform_edges(g, m_pad)
     edges = int(np.sum(g.n_edges)) * mcfg.model.tmax
-    opt = optax.adam(2e-5)
+    scfg = mcfg.replace(train=dataclasses.replace(mcfg.train,
+                                                  layout="sparse"))
+    opt = tr.make_optimizer(scfg)  # same transform chain for both variants
     for variant in ("unpartitioned", "halo_graph1"):
         try:
             p = tsp.tsp_init(jax.random.PRNGKey(0), mcfg.model)
             o = opt.init(p)
             if variant == "unpartitioned":
                 b = tr.device_batch(tsp_sparse.block_batch_arrays(g))
-                scfg = mcfg.replace(train=dataclasses.replace(
-                    mcfg.train, layout="sparse"))
 
                 def stepfn(p, o, b, cfg=scfg):
                     return tr.train_step(p, o, b, cfg)
@@ -262,7 +264,9 @@ def big_shapes():
                      for k, v in halo.shard_batch_arrays(g).items()}
                 stepfn = halo.make_sharded_train_step(
                     mcfg.model, mesh, opt, v_pad=g.v_pad, m_pad=g.m_pad,
-                    use_pallas=True, interpret=False)
+                    use_pallas=os.environ.get("TPU_PERF_P200_PALLAS",
+                                              "1") == "1",
+                    interpret=False)
                 p = jax.device_put(p, NamedSharding(mesh, P()))
                 o = jax.device_put(o, NamedSharding(mesh, P()))
             p, o, m = stepfn(p, o, b)
@@ -281,6 +285,7 @@ def big_shapes():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TPU_PERF_ONLY") != "big":
+        main()
     if os.environ.get("TPU_PERF_BIG"):
         big_shapes()

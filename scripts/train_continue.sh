@@ -1,5 +1,6 @@
 #!/bin/bash
-# Continue the flagship run in bf16 from the round's best f32 checkpoint.
+# Continue the flagship run from the round's best checkpoint (f32 — measured
+# to tie bf16 on the full step, PERF.md; --bf16 via EXTRA if wanted).
 #
 # Seeds LOG_DIR with the source checkpoint so train.py's resume picks it up
 # (params are f32 masters either way — precision switch is free), then
@@ -10,7 +11,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SRC=${SRC:-/root/runs/n40_a}
-LOG_DIR=${LOG_DIR:-runs/n40_bf16_cont}
+LOG_DIR=${LOG_DIR:-runs/n40_cont}
 EPOCHS=${EPOCHS:-4000}
 
 if [ ! -d "$LOG_DIR/checkpoints" ]; then

@@ -111,14 +111,16 @@ def _preset_pr1() -> Config:
 def _preset_n40() -> Config:
     """BASELINE.json configs[1]: n=40, batch 128, curriculum over deviation 2%.
 
-    bf16 mixed precision is the measured-fastest training config on the v5e
-    (results/tpu_perf_basic.jsonl: dense_bf16 88.7ms/step = 19.1M
-    edge-updates/s vs dense_f32 133ms vs sparse_pallas 240ms) — VERDICT r1 #3.
+    Precision: measured UNCONTENDED on the v5e (results/tpu_perf.jsonl),
+    dense f32 and dense bf16 tie at 88.7 ms/step (19.1M edge-updates/s) —
+    the full step is bound by scan state traffic + backward, not matmul
+    dtype — so the preset keeps f32, the precision the accuracy contract
+    was demonstrated with (EVAL.md); --bf16 remains one flag away.
     """
     return Config(
         model=ModelConfig(tmax=32),
         data=DataConfig(n_min=20, n_max=40, batch_size=128, pad_n=40),
-        train=TrainConfig(bf16=True),
+        train=TrainConfig(),
     )
 
 
