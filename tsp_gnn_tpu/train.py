@@ -262,20 +262,22 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
         assert cfg.train.batches_per_epoch % chunk == 0
 
         def chunk_gen():
-            """Host-side batch assembly + device transfer, prefetched off
-            the device path: device_batch's host->device copies are issued
-            from the producer thread, so they overlap the PREVIOUS chunk's
-            compute instead of sitting on the dispatch critical path."""
+            """Host-side batch assembly, prefetched off the device path.
+
+            device_batch must run on the MAIN thread: issuing the
+            host->device copies from the prefetch producer thread deadlocks
+            the axon tunnel runtime (every thread ends up futex-waiting;
+            observed 2026-08-17 on the first run after trying it).  Transfer
+            dispatch is async anyway, so the critical-path cost is small."""
             nonlocal edge_updates
             for _ in range(cfg.train.batches_per_epoch // chunk):
                 bs = [next_batch() for _ in range(chunk)]
                 for b in bs:
                     edge_updates += edges_per_step(b, cfg.model.tmax)
                 if chunk == 1:
-                    yield device_batch(bs[0])
+                    yield bs[0]
                 else:
-                    yield device_batch({k: np.stack([b[k] for b in bs])
-                                        for k in bs[0]})
+                    yield {k: np.stack([b[k] for b in bs]) for k in bs[0]}
 
         from tsp_gnn_tpu.data.pipeline import prefetch
         from tsp_gnn_tpu.utils.profiling import maybe_trace
@@ -285,10 +287,10 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             with maybe_trace(profile_dir if do_trace else None):
                 if chunk == 1:
                     params, opt_state, m = train_step(
-                        params, opt_state, stacked, cfg)
+                        params, opt_state, device_batch(stacked), cfg)
                 else:
                     params, opt_state, m = train_chunk(
-                        params, opt_state, stacked, cfg)
+                        params, opt_state, device_batch(stacked), cfg)
                 if do_trace:
                     jax.block_until_ready(m["loss"])
             losses.append(float(m["loss"]))
