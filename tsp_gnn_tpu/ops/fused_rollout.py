@@ -77,10 +77,14 @@ def _ln(x, g, b, eps):
 
 
 def _mlp(x, w_ref, b_ref, which, depth=3):
+    # NB: every ref access below is a STATIC 2-D slice (which/l are
+    # Python-unrolled); 1-D row reads + [None, :] re-broadcast tripped the
+    # Mosaic 'vector.broadcast' verifier on the bf16 path.
     d = x.shape[-1]
     for l in range(depth):
         w = w_ref[(which * depth + l) * d:(which * depth + l + 1) * d, :]
-        b = b_ref[which * depth + l, :][None, :].astype(x.dtype)
+        row = which * depth + l
+        b = b_ref[row:row + 1, :].astype(x.dtype)
         x = jnp.dot(x, w, preferred_element_type=jnp.float32
                     ).astype(x.dtype) + b
         if l < depth - 1:
@@ -95,8 +99,8 @@ def _lstm(z_in, h, c, k_ref, g_ref, b_ref, which, act, forget_bias, eps):
                 preferred_element_type=jnp.float32).astype(z_in.dtype)
 
     def ln_gate(x, gate):
-        row = which * 5 + gate
-        return _ln(x, g_ref[row, :][None, :], b_ref[row, :][None, :], eps)
+        row = which * 5 + gate  # static: which/gate are Python ints
+        return _ln(x, g_ref[row:row + 1, :], b_ref[row:row + 1, :], eps)
 
     i = ln_gate(z[:, 0 * d:1 * d], 0)
     j = ln_gate(z[:, 1 * d:2 * d], 1)
@@ -122,10 +126,10 @@ def _rollout_kernel(src_ref, tgt_ref, em_ref, vm_ref, hv0_ref, he0_ref,
 
     def one_hot(p, r, dtype):
         vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
-        idx = p * rows + r
-        oh = ((vid == src_ref[idx, :][None, :]).astype(dtype)
-              + (vid == tgt_ref[idx, :][None, :]).astype(dtype))
-        return oh * em_ref[idx, :][None, :].astype(dtype)
+        idx = p * rows + r  # static slice bounds: p/r are Python-unrolled
+        oh = ((vid == src_ref[idx:idx + 1, :]).astype(dtype)
+              + (vid == tgt_ref[idx:idx + 1, :]).astype(dtype))
+        return oh * em_ref[idx:idx + 1, :].astype(dtype)
 
     def body(_, carry):
         h_v, c_v, h_e, c_e = carry
