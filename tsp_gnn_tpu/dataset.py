@@ -34,15 +34,21 @@ def _gen_chunk(args, n_min, n_max, solver, restarts, text):
 def create_dataset(path: str, samples: int, n_min: int = 20, n_max: int = 40,
                    seed: int = 0, shard_size: int = 1024,
                    solver: str = "auto", restarts: int = 4,
-                   workers: int = 0, text: bool = False) -> int:
+                   workers: int = 0, text: bool = False,
+                   resume: bool = False) -> int:
+    """resume=True skips shards whose file already exists, so an interrupted
+    or partial run can be topped up to `samples` without regenerating (the
+    per-shard seed is deterministic in the shard index, so resumed content
+    is identical to what a single uninterrupted run would have written)."""
     os.makedirs(path, exist_ok=True)
     jobs = []
     remaining = samples
     shard = 0
     while remaining > 0:
         count = min(shard_size, remaining)
-        jobs.append((seed + shard, count,
-                     os.path.join(path, f"shard_{shard:05d}.npz")))
+        shard_path = os.path.join(path, f"shard_{shard:05d}.npz")
+        if not (resume and os.path.exists(shard_path)):
+            jobs.append((seed + shard, count, shard_path))
         remaining -= count
         shard += 1
     fn = functools.partial(_gen_chunk, n_min=n_min, n_max=n_max,
@@ -70,9 +76,12 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     p.add_argument("--text", action="store_true",
                    help="also write .graph text files")
+    p.add_argument("--resume", action="store_true",
+                   help="skip shards whose file already exists (top up an "
+                        "interrupted run; per-shard seeds are deterministic)")
     a = p.parse_args(argv)
     create_dataset(a.path, a.samples, a.n_min, a.n_max, a.seed, a.shard_size,
-                   a.solver, a.restarts, a.workers, a.text)
+                   a.solver, a.restarts, a.workers, a.text, a.resume)
 
 
 if __name__ == "__main__":
