@@ -76,6 +76,19 @@ def _ln(x, g, b, eps):
     return ((xf - mean) * jax.lax.rsqrt(var + eps) * g + b).astype(x.dtype)
 
 
+def _sigmoid(x):
+    """sigmoid with f32 internals: Mosaic's bf16 `logistic` lowering emits an
+    f32-scalar -> bf16-vector `vector.broadcast` that fails the MLIR verifier
+    (measured on jaxlib 0.9.0; scripts/fused_repro.py captures it), so the
+    transcendental runs in f32 and casts back."""
+    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _tanh(x):
+    """tanh via f32 — same Mosaic bf16 transcendental hazard as _sigmoid."""
+    return jnp.tanh(x.astype(jnp.float32)).astype(x.dtype)
+
+
 def _mlp(x, w_ref, b_ref, which, depth=3):
     # NB: every ref access below is a STATIC 2-D slice (which/l are
     # Python-unrolled); 1-D row reads + [None, :] re-broadcast tripped the
@@ -106,23 +119,28 @@ def _lstm(z_in, h, c, k_ref, g_ref, b_ref, which, act, forget_bias, eps):
     j = ln_gate(z[:, 1 * d:2 * d], 1)
     f = ln_gate(z[:, 2 * d:3 * d], 2)
     o = ln_gate(z[:, 3 * d:4 * d], 3)
-    new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * act(j)
+    new_c = c * _sigmoid(f + forget_bias) + _sigmoid(i) * act(j)
     ln_c = ln_gate(new_c, 4)
-    new_h = act(ln_c) * jax.nn.sigmoid(o)
+    new_h = act(ln_c) * _sigmoid(o)
     return new_h, new_c
 
 
-def _rollout_kernel(src_ref, tgt_ref, em_ref, vm_ref, hv0_ref, he0_ref,
-                    mw_ref, mb_ref, k_ref, g_ref, b_ref,
+def _rollout_kernel(src_ref, tgt_ref, em_ref, emcol_ref, vm_ref, hv0_ref,
+                    he0_ref, mw_ref, mb_ref, k_ref, g_ref, b_ref,
                     hv_out, he_out, *,
                     tmax, v_pad, m_pad, group, cell_act, forget_bias, eps):
-    act = {"relu": lambda x: jnp.maximum(x, 0), "tanh": jnp.tanh}[cell_act]
+    act = {"relu": lambda x: jnp.maximum(x, 0), "tanh": _tanh}[cell_act]
     rows = m_pad // TILE
     # uniform compute dtype: implicit f32xbf16 promotion inside the kernel
     # produced Mosaic broadcast-verifier failures
     dtype = hv0_ref.dtype
     vm = vm_ref[:].astype(dtype)
-    em_col = em_ref[:].reshape(group * m_pad, 1).astype(dtype)
+    # the per-edge mask is consumed in TWO layouts: lane-major [rows, 128]
+    # for the one-hot tiles (em_ref) and column [M, 1] for masking edge-state
+    # rows (emcol_ref).  It arrives as two inputs because an in-kernel
+    # lane->sublane reshape is a Mosaic relayout the toolchain rejects
+    # ("infer-vector-layout: unsupported shape cast", scripts/fused_repro.py).
+    em_col = emcol_ref[:].astype(dtype)
 
     def one_hot(p, r, dtype):
         vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
@@ -166,15 +184,17 @@ def _rollout_kernel(src_ref, tgt_ref, em_ref, vm_ref, hv0_ref, he0_ref,
     he_out[:] = h_e
 
 
-def fused_rollout(src2, tgt2, em2, vert_mask, h_v0, h_e0, packed, *,
+def fused_rollout(src2, tgt2, em2, edge_mask, vert_mask, h_v0, h_e0,
+                  packed, *,
                   tmax: int, v_pad: int, m_pad: int, num_problems: int,
                   group: int = 4, cell_activation: str = "relu",
                   forget_bias: float = 1.0, ln_eps: float = 1e-12,
                   interpret=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run tmax MP iterations fully on-chip; returns (h_v_T, h_e_T).
 
-    src2/tgt2/em2: lane-major [M/128, 128]; vert_mask [N, 1];
-    h_v0 [N, d]; h_e0 [M, d]; packed = pack_params(...).
+    src2/tgt2/em2: lane-major [M/128, 128]; edge_mask [M, 1] (the same mask
+    in column layout — see the relayout note in _rollout_kernel);
+    vert_mask [N, 1]; h_v0 [N, d]; h_e0 [M, d]; packed = pack_params(...).
     """
     from tsp_gnn_tpu.ops.spmm import resolve_interpret
     interpret = resolve_interpret(interpret)
@@ -192,12 +212,19 @@ def fused_rollout(src2, tgt2, em2, vert_mask, h_v0, h_e0, packed, *,
     return pl.pallas_call(
         kernel,
         grid=grid,
+        # the default 16MB scoped-vmem stack limit rejects group=4 at
+        # flagship shapes (measured: 20.55M needed — scripts/fused_repro.py);
+        # v5e VMEM is 128MB, leave headroom for the in/out blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((group * rows, TILE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group * rows, TILE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group * rows, TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * m_pad, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group * v_pad, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -222,7 +249,7 @@ def fused_rollout(src2, tgt2, em2, vert_mask, h_v0, h_e0, packed, *,
             jax.ShapeDtypeStruct((num_problems * m_pad, d), h_e0.dtype),
         ),
         interpret=interpret,
-    )(src2, tgt2, em2, vert_mask, h_v0, h_e0,
+    )(src2, tgt2, em2, edge_mask, vert_mask, h_v0, h_e0,
       packed["msg_w"], packed["msg_b"], packed["lstm_k"],
       packed["ln_g"], packed["ln_b"])
 
@@ -246,8 +273,9 @@ def forward_fused(params: dict, batch: Dict[str, jnp.ndarray],
     h_e0 = mlp.mlp_apply(params["e_init"], wc) * em
     packed = pack_params(params, cfg, dtype=h_e0.dtype)
     _, h_e = fused_rollout(
-        batch["src2"], batch["tgt2"], batch["em2"], batch["vert_mask"],
-        h_v0, h_e0, packed, tmax=tmax, v_pad=v_pad, m_pad=m_pad,
+        batch["src2"], batch["tgt2"], batch["em2"], em,
+        batch["vert_mask"], h_v0, h_e0, packed,
+        tmax=tmax, v_pad=v_pad, m_pad=m_pad,
         num_problems=B, group=group, cell_activation=cfg.cell_activation,
         forget_bias=cfg.forget_bias, ln_eps=cfg.ln_eps, interpret=interpret)
     votes = mlp.mlp_apply(params["vote"], h_e) * em
