@@ -136,10 +136,10 @@ def _preset_size_gen() -> Config:
 
 def _preset_large_batch() -> Config:
     """BASELINE.json configs[3]: 4k instances/batch, bf16, block-diagonal
-    sparse layout.  fused=False: the fused rollout kernel fails to compile
-    on the current Mosaic toolchain (results/tpu_perf_basic.jsonl
-    'vector.broadcast' verification error) — scan + Pallas SpMM is the
-    working production path until that is fixed."""
+    sparse layout.  fused=False by MEASUREMENT: the fused rollout kernel
+    compiles and runs on hardware (round-2 Mosaic fixes) but the fused-fwd
+    train step does not beat scan + Pallas SpMM at these shapes
+    (PERF.md "Fused rollout", results/fused_perf2.jsonl)."""
     return Config(
         model=ModelConfig(tmax=32),
         data=DataConfig(n_min=20, n_max=40, batch_size=4096, pad_n=40),

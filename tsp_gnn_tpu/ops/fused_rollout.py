@@ -142,12 +142,23 @@ def _rollout_kernel(src_ref, tgt_ref, em_ref, emcol_ref, vm_ref, hv0_ref,
     # ("infer-vector-layout: unsupported shape cast", scripts/fused_repro.py).
     em_col = emcol_ref[:].astype(dtype)
 
-    def one_hot(p, r, dtype):
-        vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
-        idx = p * rows + r  # static slice bounds: p/r are Python-unrolled
-        oh = ((vid == src_ref[idx:idx + 1, :]).astype(dtype)
-              + (vid == tgt_ref[idx:idx + 1, :]).astype(dtype))
-        return oh * em_ref[idx:idx + 1, :].astype(dtype)
+    # Per-problem transposed one-hot incidence [v_pad, m_pad], built ONCE
+    # before the tmax loop (round-1 rebuilt [v_pad, 128] tiles inside every
+    # iteration — 2*tmax*rows redundant VPU compares).  VMEM cost is tiny
+    # (group * v_pad * m_pad * 4B ~ hundreds of KB); both aggregation
+    # directions become ONE MXU dot per problem per iteration, and the
+    # v_from_e direction contracts over m_pad (>=1024) instead of 128 —
+    # full systolic-array depth.
+    vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
+    ohs = []
+    for p in range(group):
+        tiles = []
+        for r in range(rows):
+            idx = p * rows + r  # static slice bounds: Python-unrolled
+            oh = ((vid == src_ref[idx:idx + 1, :]).astype(dtype)
+                  + (vid == tgt_ref[idx:idx + 1, :]).astype(dtype))
+            tiles.append(oh * em_ref[idx:idx + 1, :].astype(dtype))
+        ohs.append(jnp.concatenate(tiles, axis=1))     # [v_pad, m_pad]
 
     def body(_, carry):
         h_v, c_v, h_e, c_e = carry
@@ -157,17 +168,13 @@ def _rollout_kernel(src_ref, tgt_ref, em_ref, emcol_ref, vm_ref, hv0_ref,
         agg_v_parts = []
         for p in range(group):
             xw = msg_v[p * v_pad:(p + 1) * v_pad, :]
-            acc_v = jnp.zeros((v_pad, msg_v.shape[-1]), jnp.float32)
-            for r in range(rows):
-                oh = one_hot(p, r, msg_v.dtype)
-                agg_e_parts.append(jax.lax.dot_general(
-                    oh, xw, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(h_e.dtype))
-                xe = msg_e[p * m_pad + r * TILE: p * m_pad + (r + 1) * TILE, :]
-                acc_v += jax.lax.dot_general(
-                    oh, xe, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            agg_v_parts.append(acc_v.astype(h_v.dtype))
+            xe = msg_e[p * m_pad:(p + 1) * m_pad, :]
+            agg_e_parts.append(jax.lax.dot_general(
+                ohs[p], xw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(h_e.dtype))
+            agg_v_parts.append(jax.lax.dot_general(
+                ohs[p], xe, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(h_v.dtype))
         agg_e = jnp.concatenate(agg_e_parts, axis=0)
         agg_v = jnp.concatenate(agg_v_parts, axis=0)
         h_v, c_v = _lstm(agg_v, h_v, c_v, k_ref, g_ref, b_ref, 0, act,
