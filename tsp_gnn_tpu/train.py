@@ -344,6 +344,10 @@ def main(argv=None):
                    help="held-out eval-set size (per-epoch eval_acc; "
                         "64 is noisy — checkpoint selection benefits from "
                         "more)")
+    p.add_argument("--stream-workers", type=int, default=None,
+                   help="label the on-the-fly training stream in a process "
+                        "pool of this size (keeps the ILS solver off the "
+                        "dispatch critical path; ignored with --data-path)")
     args = p.parse_args(argv)
     import dataclasses
 
@@ -353,6 +357,9 @@ def main(argv=None):
     if args.batch_size:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data,
                                                    batch_size=args.batch_size))
+    if args.stream_workers is not None:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, stream_workers=args.stream_workers))
     if args.tmax:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     if args.bf16:
