@@ -55,6 +55,40 @@ def test_checkpoint_resume(tmp_path):
     assert state["epoch"] == 2
 
 
+def test_checkpoint_pruning(tmp_path):
+    """keep_checkpoints=2 retains the 2 newest epochs plus the best-eval
+    epoch; pruning also respects the recovered best across a resume."""
+    cfg = small_cfg()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                keep_checkpoints=2))
+    tr.train(cfg, epochs=4, seed=2, log_dir=str(tmp_path), eval_instances=8)
+    cdir = tmp_path / "checkpoints"
+    kept = sorted(os.listdir(cdir))
+    assert len(kept) <= 3, kept           # 2 newest + possibly older best
+    assert "ckpt_3.pkl" in kept
+    best = ckpt.find_best_checkpoint(str(tmp_path))
+    assert best is not None and os.path.exists(best)
+    # resume two more epochs: pruning continues, best still present
+    tr.train(cfg, epochs=6, seed=2, log_dir=str(tmp_path), eval_instances=8)
+    kept = sorted(os.listdir(cdir))
+    assert len(kept) <= 3, kept
+    assert "ckpt_5.pkl" in kept
+    best = ckpt.find_best_checkpoint(str(tmp_path))
+    assert best is not None and os.path.exists(best)
+
+
+def test_prune_checkpoints_unit(tmp_path):
+    for e in range(6):
+        (tmp_path / f"ckpt_{e}.pkl").write_bytes(b"x")
+    removed = ckpt.prune_checkpoints(str(tmp_path), keep_last=2,
+                                     keep_epochs=(1,))
+    assert removed == 3
+    assert sorted(os.listdir(tmp_path)) == ["ckpt_1.pkl", "ckpt_4.pkl",
+                                            "ckpt_5.pkl"]
+    # keep_last=0 keeps everything
+    assert ckpt.prune_checkpoints(str(tmp_path), keep_last=0) == 0
+
+
 def test_train_step_jit_stable():
     """Two train steps with the same donated buffers run without error and
     change the params."""

@@ -62,6 +62,9 @@ class TrainConfig:
     batches_per_epoch: int = 128     # paper: epoch = 128 batches
     eval_batches: int = 16
     checkpoint_every: int = 1        # epochs
+    keep_checkpoints: int = 0        # >0: prune to the k newest epochs
+                                     # (the best-eval epoch always survives);
+                                     # 0 = keep all (reference Saver behavior)
     log_path: str = "runs/default"
     resume: bool = True
     bf16: bool = False               # bfloat16 embeddings (large-batch preset)

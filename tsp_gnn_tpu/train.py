@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import time
 from typing import Dict, Iterator, Optional, Tuple
@@ -227,6 +228,20 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
         eval_insts, d.deviation, d.pad_n or d.n_max))
 
     final = {}
+    # best-eval tracking feeds checkpoint pruning (the best epoch is never
+    # pruned); on resume, recover the running best from metrics.jsonl
+    best_eval_acc, best_epoch = -float("inf"), None
+    if start_epoch and os.path.exists(logger.path):
+        with open(logger.path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if (row.get("event") == "epoch"
+                        and row.get("eval_acc", -1) >= best_eval_acc):
+                    best_eval_acc = row["eval_acc"]
+                    best_epoch = int(row["epoch"])
     for epoch in range(start_epoch, epochs):
         if file_loader is not None:
             # curricula over deviation AND size apply to file batches [B:L8]
@@ -304,12 +319,17 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             eval_loss=float(em["loss"]), eval_acc=float(em["accuracy"]),
             edges_per_s=edge_updates / dt, epoch_s=dt,
             **cur.state(epoch))
+        if float(em["accuracy"]) >= best_eval_acc:
+            best_eval_acc, best_epoch = float(em["accuracy"]), epoch
         if (epoch + 1) % cfg.train.checkpoint_every == 0:
             ckpt.save_checkpoint(
                 os.path.join(ckpt_dir, f"ckpt_{epoch}.pkl"),
                 {"params": params, "opt_state": opt_state, "epoch": epoch,
                  "step": step, "seed": seed,
                  "curriculum": cur.state(epoch)})
+            keep = (best_epoch,) if best_epoch is not None else ()
+            ckpt.prune_checkpoints(ckpt_dir, cfg.train.keep_checkpoints,
+                                   keep_epochs=keep)
     logger.close()
     return {"params": params, "opt_state": opt_state, "metrics": final}
 
@@ -348,6 +368,9 @@ def main(argv=None):
                    help="label the on-the-fly training stream in a process "
                         "pool of this size (keeps the ILS solver off the "
                         "dispatch critical path; ignored with --data-path)")
+    p.add_argument("--keep-checkpoints", type=int, default=None,
+                   help="prune to the k newest checkpoints, always keeping "
+                        "the best-eval epoch (default: keep all)")
     args = p.parse_args(argv)
     import dataclasses
 
@@ -360,6 +383,9 @@ def main(argv=None):
     if args.stream_workers is not None:
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, stream_workers=args.stream_workers))
+    if args.keep_checkpoints is not None:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, keep_checkpoints=args.keep_checkpoints))
     if args.tmax:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     if args.bf16:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -91,3 +91,25 @@ def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
         return None
     step = lambda f: int(f[len(prefix):-4])
     return os.path.join(directory, max(cands, key=step))
+
+
+def prune_checkpoints(directory: str, keep_last: int,
+                      keep_epochs: Tuple[int, ...] = (),
+                      prefix: str = "ckpt_") -> int:
+    """Delete all but the `keep_last` newest checkpoints (by epoch number)
+    and any epoch listed in `keep_epochs` (e.g. the best-eval epoch).
+    Returns the number of files removed.  keep_last <= 0 keeps everything
+    (the reference's Saver kept every epoch [SURVEY §5 Checkpoint])."""
+    if keep_last <= 0 or not os.path.isdir(directory):
+        return 0
+    step = lambda f: int(f[len(prefix):-4])
+    cands = sorted((f for f in os.listdir(directory)
+                    if f.startswith(prefix) and f.endswith(".pkl")), key=step)
+    keep = set(int(e) for e in keep_epochs)
+    keep.update(step(f) for f in cands[-keep_last:])
+    removed = 0
+    for f in cands:
+        if step(f) not in keep:
+            os.unlink(os.path.join(directory, f))
+            removed += 1
+    return removed
