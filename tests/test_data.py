@@ -1,6 +1,7 @@
 """Data-path tests (SURVEY §4.4): solver optimality, generator determinism,
 file round-trip, dual-label balance, block/batch invariants."""
 import itertools
+import os
 
 import numpy as np
 import pytest
@@ -61,6 +62,24 @@ def test_shard_roundtrip(tmp_path):
     for x, y in zip(insts, back):
         np.testing.assert_array_equal(x["W"], y["W"])
         assert x["n"] == y["n"]
+
+
+def test_create_dataset_resume(tmp_path):
+    """--resume fills missing shards with the content an uninterrupted run
+    would have written (per-shard seeds are deterministic in shard index)."""
+    from tsp_gnn_tpu.dataset import create_dataset
+    path = str(tmp_path / "d")
+    create_dataset(path, samples=24, n_min=8, n_max=10, shard_size=8)
+    ref = generator.load_shard(os.path.join(path, "shard_00001.npz"))
+    os.unlink(os.path.join(path, "shard_00001.npz"))
+    # top up to 32 samples: must regenerate only shard 1 and add shard 3
+    create_dataset(path, samples=32, n_min=8, n_max=10, shard_size=8,
+                   resume=True)
+    names = sorted(os.listdir(path))
+    assert names == [f"shard_0000{i}.npz" for i in range(4)]
+    back = generator.load_shard(os.path.join(path, "shard_00001.npz"))
+    for x, y in zip(ref, back):
+        np.testing.assert_array_equal(x["W"], y["W"])
 
 
 def test_graph_file_roundtrip(tmp_path):
