@@ -20,9 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log-dir", default="runs/n40_cont")
+    p.add_argument("--checkpoint", default=None,
+                   help="evaluate this checkpoint instead of the "
+                        "metrics-best one under --log-dir")
     p.add_argument("--out", default="results/eval_best_r2.jsonl")
     p.add_argument("--instances", type=int, default=256)
     p.add_argument("--headline-batches", type=int, default=4)
+    p.add_argument("--skip-deviation", action="store_true")
     args = p.parse_args()
 
     import numpy as np
@@ -35,7 +39,7 @@ def main():
     from tsp_gnn_tpu.utils.system import enable_compilation_cache
 
     enable_compilation_cache()
-    best = ck.find_best_checkpoint(args.log_dir)
+    best = args.checkpoint or ck.find_best_checkpoint(args.log_dir)
     assert best, f"no checkpoint under {args.log_dir}"
     state = ck.load_checkpoint(best)
     params = state["params"]
@@ -44,10 +48,11 @@ def main():
              "epoch": int(state["epoch"])}]
     print(f"evaluating {best} (epoch {state['epoch']})", flush=True)
 
-    rows += evaluate.deviation_sweep(
-        params, cfg, [0.0, 0.01, 0.02, 0.03, 0.05, 0.10],
-        n_instances=args.instances)
-    print("deviation sweep done", flush=True)
+    if not args.skip_deviation:
+        rows += evaluate.deviation_sweep(
+            params, cfg, [0.0, 0.01, 0.02, 0.03, 0.05, 0.10],
+            n_instances=args.instances)
+        print("deviation sweep done", flush=True)
 
     # headline: n=40 @ 2% over headline_batches disjoint 256-instance sets
     accs = []
