@@ -33,4 +33,5 @@ exec python -m tsp_gnn_tpu.train \
   --epochs "$EPOCHS" \
   --log-dir "$LOG_DIR" \
   --chunk 8 \
-  --eval-instances 256
+  --eval-instances 256 \
+  --keep-checkpoints 8
