@@ -82,9 +82,17 @@ def main():
         leaf = jax.tree.leaves(p)[0]
         np.asarray(leaf)
 
-    # warmup / compile
+    # warmup / compile.  The wall time of this first dispatch identifies the
+    # cache state: a persistent-cache hit completes in seconds, a fresh
+    # remote compile takes minutes — and on bad compile-service eras the
+    # fresh program is also up to 3.2x SLOWER at runtime (PERF.md "Backend
+    # variance").  Logged so BENCH_r{N}.json records which era/cache-state
+    # produced the number [VERDICT r2 #2].
+    t_warm = time.perf_counter()
     params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
     sync(params)
+    warmup_s = time.perf_counter() - t_warm
+    cache_hit = warmup_s < 30.0
 
     iters = max(1, int(os.environ.get("BENCH_STEPS", "40")) // chunk)
     t0 = time.perf_counter()
@@ -117,11 +125,15 @@ def main():
     print(f"[bench] {eps/1e6:.2f}M edge-updates/s | "
           f"{achieved_flops/1e12:.2f} TFLOP/s "
           f"({100*achieved_flops/peak:.1f}% of peak) | "
-          f"step {dt/iters/chunk*1e3:.1f} ms", file=sys.stderr)
+          f"step {dt/iters/chunk*1e3:.1f} ms | "
+          f"warmup {warmup_s:.1f}s ({'cache hit' if cache_hit else 'FRESH COMPILE — era-sensitive'})",
+          file=sys.stderr)
 
     print(json.dumps({"metric": "edges_per_s_per_chip", "value": eps,
                       "unit": "edge-updates/s",
-                      "vs_baseline": round(eps / R1_HONEST_EDGES_PER_S, 4)}))
+                      "vs_baseline": round(eps / R1_HONEST_EDGES_PER_S, 4),
+                      "warmup_s": round(warmup_s, 1),
+                      "compile_cache_hit": cache_hit}))
 
 
 if __name__ == "__main__":

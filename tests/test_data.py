@@ -82,6 +82,22 @@ def test_create_dataset_resume(tmp_path):
         np.testing.assert_array_equal(x["W"], y["W"])
 
 
+def test_create_dataset_resume_short_final_shard(tmp_path):
+    """Topping up a run whose previous total was NOT a multiple of
+    shard_size must regenerate the short final shard, not keep it
+    [ADVICE r2]."""
+    from tsp_gnn_tpu.dataset import create_dataset
+    path = str(tmp_path / "d")
+    # 20 samples @ shard_size 8 -> shards of 8, 8, 4 (short final)
+    create_dataset(path, samples=20, n_min=8, n_max=10, shard_size=8)
+    assert len(generator.load_shard(os.path.join(path, "shard_00002.npz"))) == 4
+    create_dataset(path, samples=32, n_min=8, n_max=10, shard_size=8,
+                   resume=True)
+    for i in range(4):
+        sh = generator.load_shard(os.path.join(path, f"shard_0000{i}.npz"))
+        assert len(sh) == 8, f"shard {i} has {len(sh)} samples"
+
+
 def test_graph_file_roundtrip(tmp_path):
     inst = generator.generate_instance(np.random.default_rng(0), 9)
     p = str(tmp_path / "i.graph")

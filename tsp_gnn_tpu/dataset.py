@@ -31,6 +31,18 @@ def _gen_chunk(args, n_min, n_max, solver, restarts, text):
     return path, len(insts)
 
 
+def _shard_count(path: str) -> int:
+    """Number of instances inside an existing npz shard (0 if absent/bad)."""
+    if not os.path.exists(path):
+        return 0
+    try:
+        import numpy as np
+        with np.load(path, allow_pickle=False) as z:
+            return int(z["n"].shape[0])
+    except Exception:  # noqa: BLE001 — corrupt/partial shard: regenerate
+        return 0
+
+
 def create_dataset(path: str, samples: int, n_min: int = 20, n_max: int = 40,
                    seed: int = 0, shard_size: int = 1024,
                    solver: str = "auto", restarts: int = 4,
@@ -47,7 +59,10 @@ def create_dataset(path: str, samples: int, n_min: int = 20, n_max: int = 40,
     while remaining > 0:
         count = min(shard_size, remaining)
         shard_path = os.path.join(path, f"shard_{shard:05d}.npz")
-        if not (resume and os.path.exists(shard_path)):
+        # resume only skips a shard that holds the EXPECTED count — a short
+        # final shard from a smaller previous run is regenerated, keeping
+        # the result identical to an uninterrupted run [ADVICE r2]
+        if not (resume and _shard_count(shard_path) == count):
             jobs.append((seed + shard, count, shard_path))
         remaining -= count
         shard += 1

@@ -238,8 +238,13 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
                     row = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if (row.get("event") == "epoch"
-                        and row.get("eval_acc", -1) >= best_eval_acc):
+                # best tracking only considers CHECKPOINTED epochs (with
+                # checkpoint_every > 1 a non-checkpointed best would make
+                # pruning protect a nonexistent file) [ADVICE r2]
+                if (row.get("event") == "epoch" and "eval_acc" in row
+                        and (int(row["epoch"]) + 1)
+                        % cfg.train.checkpoint_every == 0
+                        and row["eval_acc"] >= best_eval_acc):
                     best_eval_acc = row["eval_acc"]
                     best_epoch = int(row["epoch"])
     for epoch in range(start_epoch, epochs):
@@ -319,9 +324,9 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             eval_loss=float(em["loss"]), eval_acc=float(em["accuracy"]),
             edges_per_s=edge_updates / dt, epoch_s=dt,
             **cur.state(epoch))
-        if float(em["accuracy"]) >= best_eval_acc:
-            best_eval_acc, best_epoch = float(em["accuracy"]), epoch
         if (epoch + 1) % cfg.train.checkpoint_every == 0:
+            if float(em["accuracy"]) >= best_eval_acc:
+                best_eval_acc, best_epoch = float(em["accuracy"]), epoch
             ckpt.save_checkpoint(
                 os.path.join(ckpt_dir, f"ckpt_{epoch}.pkl"),
                 {"params": params, "opt_state": opt_state, "epoch": epoch,
