@@ -5,6 +5,7 @@ import dataclasses
 import os
 
 import jax
+import jax.flatten_util
 import numpy as np
 import pytest
 
@@ -103,3 +104,46 @@ def test_train_step_jit_stable():
     params, opt_state, m2 = tr.train_step(params, opt_state, batch, cfg)
     assert np.isfinite(float(m2["loss"]))
     assert not np.allclose(np.asarray(params["v_init"]), p0)
+
+
+def test_accum_step_equals_big_batch():
+    """K accumulated micro-batches == ONE optimizer step on the union batch
+    (BASELINE configs[3] semantics via compile-safe shapes) [VERDICT r2 #3]."""
+    cfg = small_cfg()
+    rng = np.random.default_rng(3)
+    d = cfg.data
+    insts = [generator.generate_instance(rng, d.n_min)
+             for _ in range(2 * d.batch_size)]
+    big = make_dense_batch(insts, d.deviation, d.pad_n)
+    micro = [make_dense_batch(insts[:d.batch_size], d.deviation, d.pad_n),
+             make_dense_batch(insts[d.batch_size:], d.deviation, d.pad_n)]
+    stacked = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+
+    params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+    opt = tr.make_optimizer(cfg)
+
+    p_big, _, m_big = tr.train_step(
+        jax.tree.map(np.copy, params), opt.init(params),
+        tr.device_batch(big), cfg)
+    p_acc, _, m_acc = tr.train_accum_step(
+        jax.tree.map(np.copy, params), opt.init(params),
+        tr.device_batch({k: v for k, v in stacked.items()}), cfg)
+
+    fb, _ = jax.flatten_util.ravel_pytree(p_big)
+    fa, _ = jax.flatten_util.ravel_pytree(p_acc)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=2e-5, atol=2e-7)
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_big["loss"]),
+                               rtol=1e-5)
+
+
+def test_train_with_accum_runs(tmp_path):
+    """train() dispatches accumulated steps (one optimizer step per accum
+    group) and still learns at easy deviation."""
+    cfg = small_cfg()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum=4))
+    out = tr.train(cfg, epochs=2, seed=0, log_dir=str(tmp_path),
+                   eval_instances=16)
+    assert np.isfinite(out["metrics"]["train_loss"])
+    # 16 micro-batches/epoch at accum 4 -> 4 optimizer steps per epoch
+    assert out["metrics"]["step"] == 8

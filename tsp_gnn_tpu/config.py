@@ -70,6 +70,10 @@ class TrainConfig:
     bf16: bool = False               # bfloat16 embeddings (large-batch preset)
     layout: str = "dense"            # "dense" (padded batch) | "sparse"
                                      # (block-diagonal + Pallas kernels)
+    accum: int = 1                   # micro-batches accumulated per optimizer
+                                     # step (effective batch = batch_size *
+                                     # accum; the compile-safe route to the
+                                     # 4k-instance configs[3] batch)
 
 
 @dataclass(frozen=True)
@@ -139,14 +143,20 @@ def _preset_size_gen() -> Config:
 
 def _preset_large_batch() -> Config:
     """BASELINE.json configs[3]: 4k instances/batch, bf16, block-diagonal
-    sparse layout.  fused=False by MEASUREMENT: the fused rollout kernel
-    compiles and runs on hardware (round-2 Mosaic fixes) but the fused-fwd
-    train step does not beat scan + Pallas SpMM at these shapes
-    (PERF.md "Fused rollout", results/fused_perf2.jsonl)."""
+    sparse layout.
+
+    Delivered as 16 accumulated micro-batches of 256 instances per
+    optimizer step: the tunnel's remote compile service cannot build
+    512+-instance programs (PERF.md "Big-shape compile limits"), and
+    equal-size micro-batch grad accumulation is mathematically identical
+    to the monolithic 4096 batch (tests/test_train_smoke.py).  fused=False
+    by MEASUREMENT: the fused rollout kernel compiles and runs on hardware
+    (round-2 Mosaic fixes) but the fused-fwd train step does not beat
+    scan + Pallas SpMM at these shapes (PERF.md "Fused rollout")."""
     return Config(
         model=ModelConfig(tmax=32),
-        data=DataConfig(n_min=20, n_max=40, batch_size=4096, pad_n=40),
-        train=TrainConfig(bf16=True, layout="sparse"),
+        data=DataConfig(n_min=20, n_max=40, batch_size=256, pad_n=40),
+        train=TrainConfig(bf16=True, layout="sparse", accum=16),
         kernel=KernelConfig(use_pallas=True, fused=False, batch_tile=16),
     )
 

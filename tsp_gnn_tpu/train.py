@@ -70,14 +70,18 @@ def _model_loss(params, batch, cfg: Config):
         use_pallas=kc.use_pallas, tile_e=kc.tile_e)
 
 
-def _step(params, opt_state, batch, cfg: Config):
+def _loss_and_grads(params, batch, cfg: Config):
     def loss(p):
         if cfg.train.bf16:
             # mixed precision: f32 master params, bf16 compute (grads flow
             # back through the cast to the f32 masters) [B:L10]
             return _model_loss(_cast_bf16(p), _cast_bf16(batch), cfg)
         return _model_loss(p, batch, cfg)
-    (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
+    return jax.value_and_grad(loss, has_aux=True)(params)
+
+
+def _step(params, opt_state, batch, cfg: Config):
+    (l, aux), grads = _loss_and_grads(params, batch, cfg)
     updates, opt_state = make_optimizer(cfg).update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     gnorm = optax.global_norm(grads)
@@ -102,6 +106,36 @@ def train_chunk(params, opt_state, batches, cfg: Config):
         return (p, o), m
     (params, opt_state), ms = jax.lax.scan(body, (params, opt_state), batches)
     return params, opt_state, jax.tree.map(lambda x: x.mean(), ms)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def train_accum_step(params, opt_state, batches, cfg: Config):
+    """ONE optimizer step whose gradient is accumulated over K micro-batches
+    (batches: dict of [K, ...] arrays) inside a single dispatch.
+
+    Delivers BASELINE configs[3]'s 4k-instance-batch SEMANTICS with
+    compile-safe program shapes [VERDICT r2 #3]: the tunnel's compile
+    service caps executable programs at ~256 instances, so the large_batch
+    preset runs 16x256-instance micro-batches per step.  Equal-sized
+    micro-batches make mean-of-micro-grads == the monolithic big-batch
+    gradient (mean loss over the union), so clipping + Adam see identical
+    inputs; verified vs the single-dispatch big batch in
+    tests/test_train_smoke.py.
+    """
+    def body(carry, b):
+        gsum, lsum, asum = carry
+        (l, aux), grads = _loss_and_grads(params, b, cfg)
+        return (jax.tree.map(jnp.add, gsum, grads),
+                lsum + l, asum + aux["accuracy"]), None
+    K = jax.tree.leaves(batches)[0].shape[0]
+    zero = jax.tree.map(jnp.zeros_like, params)
+    (gsum, lsum, asum), _ = jax.lax.scan(
+        body, (zero, jnp.zeros(()), jnp.zeros(())), batches)
+    grads = jax.tree.map(lambda g: g / K, gsum)
+    updates, opt_state = make_optimizer(cfg).update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, {"loss": lsum / K, "accuracy": asum / K,
+                               "grad_norm": optax.global_norm(grads)}
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -192,7 +226,11 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
           dev_start: Optional[float] = None, chunk: int = 1,
           profile_dir: Optional[str] = None) -> dict:
     """data_path: directory of npz shards / .graph files (reference-style
-    pre-generated training set); None = on-the-fly generation."""
+    pre-generated training set); None = on-the-fly generation.
+
+    cfg.train.accum > 1: each dispatch is ONE optimizer step accumulating
+    that many micro-batches (effective batch = batch_size * accum,
+    BASELINE configs[3]); mutually exclusive with chunk > 1."""
     epochs = epochs if epochs is not None else cfg.train.epochs
     log_dir = log_dir or cfg.train.log_path
     logger = MetricsLogger(os.path.join(log_dir, "metrics.jsonl"))
@@ -279,7 +317,10 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
                         f"dataset at {data_path} has fewer instances than "
                         f"batch_size={cfg.data.batch_size}") from None
 
-        assert cfg.train.batches_per_epoch % chunk == 0
+        accum = cfg.train.accum
+        assert accum == 1 or chunk == 1, "--accum excludes --chunk"
+        group = accum if accum > 1 else chunk
+        assert cfg.train.batches_per_epoch % group == 0
 
         def chunk_gen():
             """Host-side batch assembly, prefetched off the device path.
@@ -290,11 +331,11 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             observed 2026-08-17 on the first run after trying it).  Transfer
             dispatch is async anyway, so the critical-path cost is small."""
             nonlocal edge_updates
-            for _ in range(cfg.train.batches_per_epoch // chunk):
-                bs = [next_batch() for _ in range(chunk)]
+            for _ in range(cfg.train.batches_per_epoch // group):
+                bs = [next_batch() for _ in range(group)]
                 for b in bs:
                     edge_updates += edges_per_step(b, cfg.model.tmax)
-                if chunk == 1:
+                if group == 1:
                     yield bs[0]
                 else:
                     yield {k: np.stack([b[k] for b in bs]) for k in bs[0]}
@@ -305,7 +346,10 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             # profile exactly one steady-state chunk of the first epoch
             do_trace = (profile_dir and epoch == start_epoch and i == 1)
             with maybe_trace(profile_dir if do_trace else None):
-                if chunk == 1:
+                if accum > 1:
+                    params, opt_state, m = train_accum_step(
+                        params, opt_state, device_batch(stacked), cfg)
+                elif chunk == 1:
                     params, opt_state, m = train_step(
                         params, opt_state, device_batch(stacked), cfg)
                 else:
@@ -315,7 +359,7 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
                     jax.block_until_ready(m["loss"])
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
-            step += chunk
+            step += 1 if accum > 1 else chunk
         dt = time.time() - t_epoch
         em = eval_step(params, eval_batch, cfg)
         final = logger.log(
@@ -357,6 +401,10 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=1,
                    help="optimizer steps per device dispatch (amortises "
                         "the per-call tunnel latency)")
+    p.add_argument("--accum", type=int, default=None,
+                   help="micro-batches accumulated per optimizer step "
+                        "(effective batch = batch-size x accum; excludes "
+                        "--chunk > 1)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of one steady-state "
                         "chunk into this directory")
@@ -391,6 +439,9 @@ def main(argv=None):
     if args.keep_checkpoints is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, keep_checkpoints=args.keep_checkpoints))
+    if args.accum is not None:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    accum=args.accum))
     if args.tmax:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     if args.bf16:
