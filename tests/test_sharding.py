@@ -150,3 +150,39 @@ def test_sharded_loss_ring_pallas_matches_psum(mesh_shape):
     lp, _ = jax.jit(loss_psum)(rparams, jb)
     lr, _ = jax.jit(loss_ring)(rparams, jb)
     np.testing.assert_allclose(float(lr), float(lp), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_loss_edge_gating_matches_unsharded():
+    """edge_gating through the halo path: every shard gates its local edges
+    from the replicated vertex states [VERDICT r2 #10]."""
+    dp, gp = 2, 2
+    cfg, params, insts, g = _setup(n_inst=2, tmax=4, d=16)
+    cfg = dataclasses.replace(cfg, edge_gating=True)
+    params = tsp.tsp_init(jax.random.PRNGKey(2), cfg)
+    m_new = ((g.m_pad + gp * 128 - 1) // (gp * 128)) * gp * 128
+    gpad = layout.pad_uniform_edges(g, m_new)
+    batch = halo.shard_batch_arrays(gpad)
+    mesh = make_mesh(dp, gp)
+    loss_fn = halo.make_sharded_loss(cfg, mesh, v_pad=g.v_pad,
+                                     m_pad=gpad.m_pad)
+    specs = halo.batch_specs()
+    jb = {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
+          for k, v in batch.items()}
+    rparams = jax.device_put(params, NamedSharding(mesh, P()))
+    loss_sharded, _ = jax.jit(loss_fn)(rparams, jb)
+
+    flat = {k: jnp.asarray(v) for k, v in
+            tsp_sparse.block_batch_arrays(g).items()}
+    loss_ref, _ = tsp_sparse.loss_fn_sparse(
+        params, flat, cfg, v_pad=g.v_pad, m_pad=g.m_pad, use_pallas=False)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref),
+                               rtol=2e-4, atol=1e-5)
+
+    gs = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)[0]))(rparams, jb)
+    gr = jax.grad(lambda p: tsp_sparse.loss_fn_sparse(
+        p, flat, cfg, v_pad=g.v_pad, m_pad=g.m_pad,
+        use_pallas=False)[0])(params)
+    fs, _ = jax.flatten_util.ravel_pytree(gs)
+    fr, _ = jax.flatten_util.ravel_pytree(gr)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fr),
+                               rtol=5e-3, atol=1e-6)

@@ -30,6 +30,10 @@ class ModelConfig:
     feed_wc_each_step: bool = False  # also feed raw [w,c] to the E cell input
                                      # every iteration (reference-variant flag,
                                      # SURVEY §2.4 [K-med])
+    edge_gating: bool = False        # feed <h_src, h_tgt> (the SDDMM kernel)
+                                     # to the E cell input each iteration —
+                                     # model variant giving sddmm a production
+                                     # consumer incl. gradients [VERDICT r2 #10]
     remat: bool = True               # rematerialize the MP scan for backprop
 
 

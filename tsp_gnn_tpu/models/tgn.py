@@ -143,9 +143,14 @@ def tgn_step(
                                              rule.get("transpose", False)))
             else:
                 h_t = states[vtype][1]
-                raw = (M if M.shape[:-1] == h_t.shape[:-1]
-                       else jnp.broadcast_to(M[None],
-                                             h_t.shape[:-1] + M.shape[-1:]))
+                if callable(M):
+                    # dynamic matrix: recomputed from the previous iteration's
+                    # states each step (e.g. the SDDMM edge gate <h_s, h_t>)
+                    raw = M(states)
+                else:
+                    raw = (M if M.shape[:-1] == h_t.shape[:-1]
+                           else jnp.broadcast_to(M[None],
+                                                 h_t.shape[:-1] + M.shape[-1:]))
                 pieces.append(raw)
         cell_in = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, -1)
         _, new_states[vtype] = cells.lstm_apply(

@@ -75,6 +75,54 @@ def make_incidence_ops(v_pad: int, m_pad: int, num_problems: int,
     return e_from_v, v_from_e
 
 
+def make_sddmm_op(v_pad: int, m_pad: int, num_problems: int,
+                  use_pallas: bool = True, tile_e: int = 1024,
+                  interpret=None):
+    """Per-edge <x_src, x_tgt> with gradients — the SDDMM kernel's
+    production consumer (edge-gating model variant) [VERDICT r2 #10].
+
+    VJP derivation (el: e_from_v, ve: v_from_e, both em-masked, g: [M,1]
+    cotangent): d<x_s,x_t>/dx_v sums g_e * x_other over incident edges;
+    with 0/1 masks  ve(g * el(x))[v] = dx[v] + x[v] * ve(g)[v],  so
+        dx = ve(g * el(x)) - x * ve(g)
+    — three calls to the already-verified incidence kernels, no new
+    Mosaic code in the backward."""
+    kw = dict(v_pad=v_pad, m_pad=m_pad)
+    if use_pallas:
+        _sd = functools.partial(spmm.sddmm, tile_e=tile_e,
+                                interpret=interpret, **kw)
+        _efv = functools.partial(spmm.e_from_v, tile_e=tile_e,
+                                 interpret=interpret, **kw)
+        _vfe = functools.partial(spmm.v_from_e, tile_e=tile_e,
+                                 interpret=interpret,
+                                 num_problems=num_problems, **kw)
+    else:
+        _sd = functools.partial(spmm.sddmm_ref, **kw)
+        _efv = functools.partial(spmm.e_from_v_ref, **kw)
+        _vfe = functools.partial(spmm.v_from_e_ref,
+                                 num_problems=num_problems, **kw)
+
+    @jax.custom_vjp
+    def sd(src2, tgt2, em2, x_v):
+        return _sd(src2, tgt2, em2, x_v).reshape(-1, 1)      # [M, 1]
+
+    def fwd(src2, tgt2, em2, x_v):
+        return sd(src2, tgt2, em2, x_v), (src2, tgt2, em2, x_v)
+
+    def bwd(res, g):
+        src2, tgt2, em2, x_v = res
+        h_sum = _efv(src2, tgt2, em2, x_v)                   # em*(x_s + x_t)
+        # broadcast g across the feature dim: d=1 lanes would force Mosaic
+        # onto a degenerate 1-wide tile; every column of ve(g_b) is deg_g
+        g_b = jnp.broadcast_to(g, (g.shape[0], x_v.shape[-1]))
+        dx = (_vfe(src2, tgt2, em2, g * h_sum)
+              - x_v * _vfe(src2, tgt2, em2, g_b))
+        return None, None, None, dx
+
+    sd.defvjp(fwd, bwd)
+    return sd
+
+
 def block_batch_arrays(g: UniformBlockGraph) -> Dict[str, np.ndarray]:
     """UniformBlockGraph -> feed dict.
 
@@ -99,18 +147,23 @@ def block_batch_arrays(g: UniformBlockGraph) -> Dict[str, np.ndarray]:
 
 def make_flat_step(cfg: ModelConfig, gnn_params: dict,
                    batch: Dict[str, jnp.ndarray], masks: Dict[str, jnp.ndarray],
-                   e_from_v, v_from_e):
+                   e_from_v, v_from_e, sddmm_op=None):
     """THE single step definition for flat block-diagonal layouts
     (VERDICT r1 #5): binds the tsp spec + an aggregation backend into
     `tgn.tgn_step`, so the Pallas sparse path and the shard_mapped halo path
     share the cell/MLP wiring with the dense engine instead of hand-rolling
-    it.  `e_from_v`/`v_from_e` take (src2, tgt2, em2, x)."""
+    it.  `e_from_v`/`v_from_e` take (src2, tgt2, em2, x); `sddmm_op`
+    (required iff cfg.edge_gating) computes the per-edge gate [M, 1]."""
     from tsp_gnn_tpu.models import tgn
     from tsp_gnn_tpu.models.tsp import tsp_spec
     spec = tsp_spec(cfg)
     src2, tgt2, em2 = batch["src2"], batch["tgt2"], batch["em2"]
     # "EV" is realised by the aggregation closures, not a materialised matrix
     matrices = {"EV": None, "W": batch["W"], "C": batch["C"]}
+    if cfg.edge_gating:
+        assert sddmm_op is not None, "edge_gating needs an sddmm_op backend"
+        matrices["G"] = lambda states: sddmm_op(src2, tgt2, em2,
+                                                states["V"][1])
 
     def aggregate(rule, _M, x):
         if rule.get("transpose", False):
@@ -188,8 +241,11 @@ def forward_sparse(
     state = {"V": (jnp.zeros((N, d), h_v.dtype), h_v),
              "E": (jnp.zeros((M, d), h_e.dtype), h_e)}
 
+    sddmm_op = (make_sddmm_op(v_pad, m_pad, B, use_pallas=use_pallas,
+                              tile_e=tile_e, interpret=interpret)
+                if cfg.edge_gating else None)
     step = make_flat_step(cfg, params["gnn"], batch, {"V": vm, "E": em},
-                          e_from_v, v_from_e)
+                          e_from_v, v_from_e, sddmm_op=sddmm_op)
     if cfg.remat:
         step = jax.checkpoint(step)
 
@@ -220,6 +276,9 @@ def make_fused_logits(cfg: ModelConfig, *, v_pad: int, m_pad: int,
     tested-equivalent scan implementation — rematerialisation, no residuals
     saved).  Batch cotangents are zero (indices/masks/weights are data)."""
     from tsp_gnn_tpu.ops import fused_rollout
+    assert not cfg.edge_gating, (
+        "edge_gating is not implemented in the fused rollout kernel; "
+        "use the scan paths (fused=False)")
 
     def scan_logits(params, batch):
         return forward_sparse(params, batch, cfg, v_pad=v_pad, m_pad=m_pad,

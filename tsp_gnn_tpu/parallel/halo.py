@@ -203,9 +203,18 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
              "E": (jnp.zeros((M, d), h_e.dtype), h_e)}
 
     # the ONE step definition (tgn.tgn_step) with the halo'd aggregation
-    # backend plugged in — see models/tsp_sparse.make_flat_step
+    # backend plugged in — see models/tsp_sparse.make_flat_step.  The edge
+    # gate is local: every shard gates its own edges from the replicated
+    # vertex states, no extra exchange.
+    sddmm_op = None
+    if cfg.edge_gating:
+        from tsp_gnn_tpu.models.tsp_sparse import make_sddmm_op
+        sddmm_op = make_sddmm_op(v_pad, m_pad_local, b,
+                                 use_pallas=use_pallas, tile_e=tile_e,
+                                 interpret=interpret)
     step = make_flat_step(cfg, params["gnn"], flat_batch,
-                          {"V": vm, "E": em}, e_from_v_local, v_from_e_halo)
+                          {"V": vm, "E": em}, e_from_v_local, v_from_e_halo,
+                          sddmm_op=sddmm_op)
 
     if cfg.remat:
         step = jax.checkpoint(step)

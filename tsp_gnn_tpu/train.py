@@ -413,6 +413,9 @@ def main(argv=None):
     p.add_argument("--layout", choices=["dense", "sparse"], default=None,
                    help="batch layout: dense padded or block-diagonal "
                         "sparse (Pallas kernels / fused rollout)")
+    p.add_argument("--edge-gating", action="store_true",
+                   help="model variant: feed the SDDMM edge gate "
+                        "<h_src, h_tgt> to the E cell each iteration")
     p.add_argument("--eval-instances", type=int, default=64,
                    help="held-out eval-set size (per-epoch eval_acc; "
                         "64 is noisy — checkpoint selection benefits from "
@@ -444,6 +447,9 @@ def main(argv=None):
                                                     accum=args.accum))
     if args.tmax:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
+    if args.edge_gating:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    edge_gating=True))
     if args.bf16:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, bf16=True))
     if args.layout:
