@@ -208,10 +208,17 @@ def big_shapes():
     # ---- large_batch (configs[3]): 4096 instances, fused, bf16 ----
     cfg = get_config("large_batch")
     lb_insts = int(os.environ.get("TPU_PERF_LB_INSTS", "4096"))
+    if lb_insts <= 0:
+        emit(kind="large_batch_skipped", reason="TPU_PERF_LB_INSTS<=0")
+        lb_insts = 0
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     insts = [generator.generate_instance(
         rng, int(rng.integers(20, 41)), "two_opt", 1) for _ in range(lb_insts)]
+    if not insts:
+        emit(kind="large_batch_host_assembly", skipped=True)
+        _run_partition_overhead(emit)
+        return
     g = layout.build_uniform_block_graph(insts, 0.02, 40)
     batch = tr.device_batch(tsp_sparse.block_batch_arrays(g))
     emit(kind="large_batch_host_assembly", s=time.perf_counter() - t0,
@@ -234,9 +241,39 @@ def big_shapes():
         emit(kind="train_step", variant=f"large_batch_bf16_{lb_insts}",
              error=str(e)[:300])
 
-    # ---- pad_n=200 halo step, graph=1, vs unpartitioned (configs[4]) ----
+    _run_partition_overhead(emit)
+
+
+def _run_partition_overhead(emit):
+    """pad_n=200 halo step, graph=1, vs unpartitioned (configs[4]).
+
+    Guarded against TPU_PERF_P200_INSTS<=0 — the r2b rerun was launched
+    with 0 instances, producing a 0//0 crash and a NaN-loss row
+    [VERDICT r2 #7]; now that's an explicit skip."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tsp_gnn_tpu import train as tr
+    from tsp_gnn_tpu.config import get_config
+    from tsp_gnn_tpu.data import generator
+    from tsp_gnn_tpu.models import tsp, tsp_sparse
+    from tsp_gnn_tpu.ops import layout
+    from tsp_gnn_tpu.parallel import halo
+    from tsp_gnn_tpu.parallel.mesh import make_mesh
+
+    def sync_params(p):
+        np.asarray(jax.tree.leaves(p)[0])
+
     mcfg = get_config("multihost")
     n_inst = int(os.environ.get("TPU_PERF_P200_INSTS", "32"))
+    if n_inst <= 0:
+        emit(kind="partition_overhead", skipped=True,
+             reason="TPU_PERF_P200_INSTS<=0")
+        return
     rng = np.random.default_rng(1)
     insts = [generator.generate_instance(rng, int(rng.integers(100, 201)),
                                          "two_opt", 1) for _ in range(n_inst)]
