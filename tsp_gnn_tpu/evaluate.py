@@ -80,7 +80,8 @@ def deviation_sweep(params, cfg: Config, deviations: Sequence[float],
 
 def size_generalization_sweep(params, cfg: Config, test_sizes: Sequence[int],
                               n_instances: int = 64, seed: int = 77,
-                              tmax: Optional[int] = None) -> List[Dict]:
+                              tmax: Optional[int] = None,
+                              forward: str = "dense") -> List[Dict]:
     """Accuracy at test sizes beyond the training range [B:L9]."""
     rows = []
     for n in test_sizes:
@@ -90,12 +91,16 @@ def size_generalization_sweep(params, cfg: Config, test_sizes: Sequence[int],
                  for _ in range(n_instances)]
         batch = make_dense_batch(insts, cfg.data.deviation, n)
         rows.append({"sweep": "size", "n": n, "tmax": tmax or cfg.model.tmax,
-                     "accuracy": _accuracy(params, batch, cfg, tmax=tmax)})
+                     "forward": forward,
+                     "accuracy": _accuracy(params, batch, cfg, tmax=tmax,
+                                           forward=forward, insts=insts,
+                                           deviation=cfg.data.deviation)})
     return rows
 
 
 def tmax_sweep(params, cfg: Config, tmaxes: Sequence[int],
-               n_instances: int = 64, seed: int = 99) -> List[Dict]:
+               n_instances: int = 64, seed: int = 99,
+               forward: str = "dense") -> List[Dict]:
     """Accuracy vs test-time message-passing iterations."""
     rng = np.random.default_rng(seed)
     d = cfg.data
@@ -103,9 +108,33 @@ def tmax_sweep(params, cfg: Config, tmaxes: Sequence[int],
         rng, int(rng.integers(d.n_min, d.n_max + 1)), d.solver,
         d.two_opt_restarts) for _ in range(n_instances)]
     batch = make_dense_batch(insts, d.deviation, d.pad_n or d.n_max)
-    return [{"sweep": "tmax", "tmax": t,
-             "accuracy": _accuracy(params, batch, cfg, tmax=t)}
+    return [{"sweep": "tmax", "tmax": t, "forward": forward,
+             "accuracy": _accuracy(params, batch, cfg, tmax=t,
+                                   forward=forward, insts=insts,
+                                   deviation=d.deviation)}
             for t in tmaxes]
+
+
+def multiset(sweep_fn, sets: int, seed0: int, **kw) -> List[Dict]:
+    """Run a sweep over `sets` disjoint instance sets and aggregate each
+    point to mean +/- sem [VERDICT r2 #8 — the robust protocol the r2
+    headline used, applied to every sweep].
+
+    Single-set 256-instance accuracies scatter +/-2-3% (EVAL.md); the
+    multi-set mean separates real curve structure from set noise."""
+    if sets <= 1:
+        return sweep_fn(seed=seed0, **kw)
+    per_set = [sweep_fn(seed=seed0 + 1000 * s, **kw) for s in range(sets)]
+    out = []
+    for point in zip(*per_set):
+        accs = [r["accuracy"] for r in point]
+        row = dict(point[0])
+        row["accuracy"] = float(np.mean(accs))
+        row["sem"] = float(np.std(accs, ddof=1) / np.sqrt(len(accs)))
+        row["sets"] = sets
+        row["set_accuracies"] = [round(a, 5) for a in accs]
+        out.append(row)
+    return out
 
 
 def main(argv=None):
@@ -117,7 +146,11 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="JSONL output path")
     p.add_argument("--instances", type=int, default=128)
     p.add_argument("--forward", choices=FORWARD_PATHS, default="dense",
-                   help="forward implementation for the deviation sweep")
+                   help="forward implementation for ALL sweeps (the "
+                        "published protocol can exercise the scaling path)")
+    p.add_argument("--sets", type=int, default=1,
+                   help="independent instance sets per sweep point; >1 "
+                        "reports mean +/- sem (the robust protocol)")
     args = p.parse_args(argv)
 
     cfg = get_config(args.preset)
@@ -127,8 +160,9 @@ def main(argv=None):
 
     rows: List[Dict] = []
     if args.sweep in ("deviation", "all"):
-        rows += deviation_sweep(
-            params, cfg, [0.0, 0.01, 0.02, 0.05, 0.10],
+        rows += multiset(
+            lambda seed, **kw: deviation_sweep(params, cfg, seed=seed, **kw),
+            args.sets, 1234, deviations=[0.0, 0.01, 0.02, 0.05, 0.10],
             n_instances=args.instances, forward=args.forward)
     if args.sweep in ("size", "all"):
         d = cfg.data
@@ -137,11 +171,16 @@ def main(argv=None):
             sizes = list(range(d.test_n_min, d.test_n_max + 1, step))
         else:
             sizes = [40, 50, 60, 70, 80]
-        rows += size_generalization_sweep(
-            params, cfg, sizes, n_instances=args.instances // 2, tmax=50)
+        rows += multiset(
+            lambda seed, **kw: size_generalization_sweep(params, cfg,
+                                                         seed=seed, **kw),
+            args.sets, 77, test_sizes=sizes,
+            n_instances=args.instances // 2, tmax=50, forward=args.forward)
     if args.sweep in ("tmax", "all"):
-        rows += tmax_sweep(params, cfg, [8, 16, 32, 48, 64],
-                           n_instances=args.instances // 2)
+        rows += multiset(
+            lambda seed, **kw: tmax_sweep(params, cfg, seed=seed, **kw),
+            args.sets, 99, tmaxes=[8, 16, 32, 48, 64],
+            n_instances=args.instances // 2, forward=args.forward)
 
     for r in rows:
         print(json.dumps(r))
