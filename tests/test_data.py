@@ -217,3 +217,18 @@ def test_parallel_instance_batches_deterministic():
             assert ia["n"] == ib["n"]
             np.testing.assert_allclose(ia["W"], ib["W"])
             np.testing.assert_allclose(ia["opt_cost"], ib["opt_cost"])
+
+
+def test_held_karp_bound_valid_and_tight():
+    """1-tree subgradient bound: true lower bound, within ~2% of exact DP
+    optimum at small n (the label-noise instrument for n>40)."""
+    from tsp_gnn_tpu.data import solver
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        n = int(rng.integers(8, 13))
+        pts = rng.random((n, 2))
+        d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        _, opt = solver.held_karp(d)
+        lb = solver.held_karp_bound(d, iters=150)
+        assert lb <= opt + 1e-9
+        assert lb >= 0.97 * opt, f"bound too loose: {lb} vs {opt}"

@@ -66,6 +66,68 @@ def held_karp(dist: np.ndarray) -> Tuple[np.ndarray, float]:
     return np.asarray(tour, np.int64), best
 
 
+def held_karp_bound(dist: np.ndarray, iters: int = 100,
+                    ub: Optional[float] = None) -> float:
+    """Held–Karp 1-tree LOWER bound via subgradient ascent.
+
+    A true lower bound on the optimal tour for ANY n (typically within
+    1–2% of optimal on Euclidean instances) — quantifies the label-noise
+    upper bound of the heuristic solver at n where exact DP is infeasible
+    (SURVEY §7 hard-part #4, [VERDICT r2 #4]): gap(solver) <= (cost - LB)/LB.
+
+    1-tree: MST over nodes {1..n-1} plus node 0's two cheapest edges, on
+    reduced costs d'[i,j] = d[i,j] + pi[i] + pi[j]; bound = w(1-tree)
+    - 2*sum(pi), maximised over pi by subgradient steps on (degree - 2).
+    """
+    n = dist.shape[0]
+    if n < 3:
+        return 0.0
+    pi = np.zeros(n)
+    best = -np.inf
+    if ub is None:
+        _, ub = local_search(dist, restarts=1, use_or_opt=False)
+    step0 = 1.0
+    for it in range(iters):
+        d = dist + pi[None, :] + pi[:, None]
+        # Prim's MST over nodes 1..n-1 (O(n^2))
+        in_tree = np.zeros(n, bool)
+        in_tree[0] = True  # excluded from MST; handled by its 2 cheapest
+        key = d[1].copy()
+        key[0] = np.inf
+        parent = np.ones(n, np.int64)
+        in_tree[1] = True
+        deg = np.zeros(n, np.int64)
+        w = 0.0
+        key = d[1].copy()
+        key[in_tree] = np.inf
+        for _ in range(n - 2):
+            u = int(np.argmin(key))
+            in_tree[u] = True
+            w += key[u]
+            deg[u] += 1
+            deg[parent[u]] += 1
+            better = d[u] < key
+            parent[better] = u
+            key = np.minimum(key, d[u])
+            key[in_tree] = np.inf
+        # node 0: two cheapest reduced edges
+        e0 = np.sort(d[0, 1:])[:2]
+        w += e0.sum()
+        deg[0] = 2
+        i2 = np.argsort(d[0, 1:])[:2] + 1
+        deg[i2[0]] += 1
+        deg[i2[1]] += 1
+        bound = w - 2.0 * pi.sum()
+        best = max(best, bound)
+        g = deg - 2
+        gn = float((g * g).sum())
+        if gn == 0:
+            break  # the 1-tree is a tour: bound is optimal
+        t = step0 * (1.0 - it / iters) * max(ub - bound, 1e-12) / gn
+        pi = pi + t * g
+    return float(best)
+
+
 def nearest_neighbor(dist: np.ndarray, start: int = 0) -> np.ndarray:
     n = dist.shape[0]
     visited = np.zeros(n, bool)
