@@ -69,16 +69,26 @@ def _oh_t(src_row, tgt_row, em_row, v_pad: int, dtype):
 
 # ---------------------------------------------------------------- e_from_v
 
+def _oh_t_tile(src_ref, tgt_ref, em_ref, v_pad: int, rows: int, dtype):
+    """Transposed one-hot [v_pad, rows*128] for a whole edge tile.
+
+    Per-row one-hots are concatenated along the LANE axis (legal in Mosaic,
+    unlike a sublane->lane reshape), so the kernels issue ONE MXU dot per
+    tile instead of `rows` small ones — a single [v_pad, tile_e] x
+    [tile_e, d] (or transposed) contraction keeps the systolic array busy
+    instead of draining it every 128 edges."""
+    return jnp.concatenate(
+        [_oh_t(src_ref[r, :], tgt_ref[r, :], em_ref[r, :], v_pad, dtype)
+         for r in range(rows)], axis=1)
+
+
 def _e_from_v_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
                      v_pad, rows):
     x = xv_ref[:]
-    outs = []
-    for r in range(rows):
-        oh = _oh_t(src_ref[r, :], tgt_ref[r, :], em_ref[r, :], v_pad, x.dtype)
-        outs.append(jax.lax.dot_general(
-            oh, x, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))          # [128, d]
-    out_ref[:] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+    oh = _oh_t_tile(src_ref, tgt_ref, em_ref, v_pad, rows, x.dtype)
+    out = jax.lax.dot_general(oh, x, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)                # [tile_e, d]
 
 
 def e_from_v(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
@@ -119,13 +129,10 @@ def _v_from_e_kernel(src_ref, tgt_ref, em_ref, xe_ref, out_ref, *,
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for r in range(rows):
-        oh = _oh_t(src_ref[r, :], tgt_ref[r, :], em_ref[r, :], v_pad,
-                   xe_ref.dtype)
-        acc += jax.lax.dot_general(
-            oh, xe_ref[r * TILE:(r + 1) * TILE, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [v_pad, d]
+    oh = _oh_t_tile(src_ref, tgt_ref, em_ref, v_pad, rows, xe_ref.dtype)
+    acc = jax.lax.dot_general(
+        oh, xe_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [v_pad, d]
     out_ref[:] += acc.astype(out_ref.dtype)
 
 
