@@ -76,7 +76,7 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                log_dir: str = "runs/spmd", steps_per_epoch: int = 32,
                use_pallas: Optional[bool] = None,
                topo: Optional[dict] = None, data_path: Optional[str] = None,
-               stream_workers: int = 0) -> dict:
+               stream_workers: int = 0, ring: str = "psum") -> dict:
     # idempotent when main() already ran it before any backend touch
     topo = topo or launcher.initialize()
     mesh = make_mesh(data_axis, graph_axis)
@@ -121,7 +121,7 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
 
     step_fn = halo.make_sharded_train_step(
         cfg.model, mesh, opt, v_pad=v_pad, m_pad=m_pad,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, ring=ring)
     specs = halo.batch_specs()
     repl = NamedSharding(mesh, P())
     params = jax.device_put(params, repl)
@@ -143,7 +143,6 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
 
     from tsp_gnn_tpu.data.pipeline import prefetch
     batches = prefetch(host_batches(), depth=2)
-    edges_per_batch = None
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, accs = [], []
@@ -196,6 +195,11 @@ def main(argv=None):
     p.add_argument("--data-path", default=None,
                    help="directory of pre-generated npz shards (removes "
                         "on-the-fly labeling from the step loop)")
+    p.add_argument("--ring", default="psum",
+                   choices=["psum", "ppermute", "overlap"],
+                   help="halo-exchange schedule: XLA psum ring (default), "
+                        "explicit ppermute ring, or compute-overlapped "
+                        "ring (local aggregation interleaved with hops)")
     p.add_argument("--stream-workers", type=int, default=0,
                    help="label the on-the-fly stream in a process pool of "
                         "this size (n=200 ILS is ~0.5 s/instance — never "
@@ -221,7 +225,8 @@ def main(argv=None):
                            log_dir=args.log_dir,
                            steps_per_epoch=args.steps_per_epoch, topo=topo,
                            data_path=args.data_path,
-                           stream_workers=args.stream_workers),
+                           stream_workers=args.stream_workers,
+                           ring=args.ring),
         max_restarts=args.max_restarts)
 
 
