@@ -127,6 +127,40 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     emit(kind="forward_only", variant=tag,
                          error=str(e)[:200])
+
+    # ---- scan-unroll probe: best-candidate shapes only ----
+    for batch_size, bf16, remat, unroll in ((128, True, True, 4),
+                                            (128, True, False, 4)):
+        batch = make_dense_batch(insts256[:batch_size], 0.02, 40)
+        edges = int(batch["n_edges"].sum()) * base.model.tmax
+        cfg = base.replace(
+            model=dataclasses.replace(base.model, remat=remat,
+                                      scan_unroll=unroll),
+            data=dataclasses.replace(base.data, batch_size=batch_size),
+            train=dataclasses.replace(base.train, bf16=bf16))
+        tag = (f"b{batch_size}_{'bf16' if bf16 else 'f32'}"
+               f"_{'remat' if remat else 'noremat'}_unroll{unroll}")
+        try:
+            params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+            opt_state = tr.make_optimizer(cfg).init(params)
+            stacked = tr.device_batch(
+                {k: np.stack([v] * chunk) for k, v in batch.items()})
+            t0 = time.perf_counter()
+            params, opt_state, _ = tr.train_chunk(params, opt_state,
+                                                  stacked, cfg)
+            sync(params)
+            warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                params, opt_state, _ = tr.train_chunk(params, opt_state,
+                                                      stacked, cfg)
+                sync(params)
+            dt = (time.perf_counter() - t0) / iters / chunk
+            emit(kind="full_step", variant=tag, ms=dt * 1e3,
+                 edges_per_s=edges / dt, warmup_s=round(warm, 1))
+        except Exception as e:  # noqa: BLE001
+            emit(kind="full_step", variant=tag, error=str(e)[:200])
     out.close()
 
 

@@ -35,6 +35,9 @@ class ModelConfig:
                                      # model variant giving sddmm a production
                                      # consumer incl. gradients [VERDICT r2 #10]
     remat: bool = True               # rematerialize the MP scan for backprop
+    scan_unroll: int = 1             # lax.scan unroll factor of the tmax loop
+                                     # (XLA pipelines unrolled iterations;
+                                     # must divide tmax when > 1)
 
 
 @dataclass(frozen=True)

@@ -170,6 +170,7 @@ def tgn_run(
     remat: bool = False,
     return_trajectory: bool = False,
     aggregate=None,
+    unroll: int = 1,
 ):
     """Run tmax iterations via lax.scan (reference: tf.while_loop).
 
@@ -185,5 +186,6 @@ def tgn_run(
         ys = {t: nxt[t][1] for t in nxt} if return_trajectory else None
         return nxt, ys
 
-    final, traj = jax.lax.scan(body, dict(initial_states), None, length=tmax)
+    final, traj = jax.lax.scan(body, dict(initial_states), None, length=tmax,
+                               unroll=min(unroll, tmax))
     return (final, traj) if return_trajectory else final

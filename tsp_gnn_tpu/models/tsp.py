@@ -132,7 +132,8 @@ def forward(
     masks = {"V": vmask, "E": emask}
     out = tgn_run(params["gnn"], spec, matrices, init, tmax,
                   masks=masks, remat=cfg.remat,
-                  return_trajectory=return_trajectory)
+                  return_trajectory=return_trajectory,
+                  unroll=cfg.scan_unroll)
     if return_trajectory:
         final, traj = out
     else:

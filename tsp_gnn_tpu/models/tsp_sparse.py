@@ -255,7 +255,8 @@ def forward_sparse(
               if return_trajectory else None)
         return nxt, ys
 
-    final, traj = jax.lax.scan(body, state, None, length=tmax)
+    final, traj = jax.lax.scan(body, state, None, length=tmax,
+                               unroll=min(cfg.scan_unroll, tmax))
     h_e = final["E"][1]
     votes = mlp.mlp_apply(params["vote"], h_e) * em          # [M, 1]
     seg = make_segment_readout(m_pad, B, use_pallas=use_pallas,

@@ -220,7 +220,7 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
         step = jax.checkpoint(step)
 
     final = jax.lax.scan(lambda s, _: (step(s), None), state, None,
-                         length=tmax)[0]
+                         length=tmax, unroll=min(cfg.scan_unroll, tmax))[0]
     votes = mlp.mlp_apply(params["vote"], final["E"][1]) * em
     sums = votes.reshape(b, m_pad_local).sum(-1)
     cnts = em.reshape(b, m_pad_local).sum(-1)
