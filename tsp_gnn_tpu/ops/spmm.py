@@ -174,16 +174,24 @@ def _sddmm_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
     x = xv_ref[:]
     dn = (((0,), (0,)), ((), ()))
     vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
+    # ONE MXU dot per endpoint for the whole tile (lane-concat one-hots);
+    # the per-edge <a, b> reduce + write stays per 128-edge row — a
+    # [tile_e] -> [rows, 128] reshape is an illegal sublane relayout
+    oh_s = jnp.concatenate(
+        [(vid == src_ref[r, :][None, :]).astype(x.dtype)
+         for r in range(rows)], axis=1)                   # [v_pad, tile_e]
+    oh_t = jnp.concatenate(
+        [(vid == tgt_ref[r, :][None, :]).astype(x.dtype)
+         for r in range(rows)], axis=1)
+    a = jax.lax.dot_general(oh_s, x, dn,
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(oh_t, x, dn,
+                            preferred_element_type=jnp.float32)
+    prod = a * b                                          # [tile_e, d]
     for r in range(rows):
-        oh_s = (vid == src_ref[r, :][None, :]).astype(x.dtype)
-        oh_t = (vid == tgt_ref[r, :][None, :]).astype(x.dtype)
-        a = jax.lax.dot_general(oh_s, x, dn,
-                                preferred_element_type=jnp.float32)
-        b = jax.lax.dot_general(oh_t, x, dn,
-                                preferred_element_type=jnp.float32)
-        # [128, d] -> per-edge dot; relayout sublane vector to lane row
-        dot = jnp.sum(a * b, axis=-1).astype(out_ref.dtype)  # [128]
-        out_ref[r, :] = dot * em_ref[r, :].astype(out_ref.dtype)
+        dot = jnp.sum(prod[r * TILE:(r + 1) * TILE, :], axis=-1)
+        out_ref[r, :] = dot.astype(out_ref.dtype) * em_ref[r, :].astype(
+            out_ref.dtype)
 
 
 def sddmm(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
