@@ -11,6 +11,7 @@ Each returns structured rows and can write JSONL.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 from typing import Dict, List, Optional, Sequence
 
@@ -28,6 +29,21 @@ from tsp_gnn_tpu.utils import checkpoint as ckpt
 FORWARD_PATHS = ("dense", "sparse", "fused")
 
 
+@functools.lru_cache(maxsize=32)
+def _jit_forward(forward: str, mcfg, v_pad: int, m_pad: int,
+                 tmax: Optional[int]):
+    """One compiled executable per (path, model-config, shape) — the
+    sparse/fused sweeps previously dispatched op-by-op (eager), which is
+    unusable through the ~35 ms/call tunnel."""
+    if forward == "sparse":
+        from tsp_gnn_tpu.models import tsp_sparse
+        return jax.jit(lambda p, b: tsp_sparse.forward_sparse(
+            p, b, mcfg, v_pad=v_pad, m_pad=m_pad, tmax=tmax))
+    from tsp_gnn_tpu.ops import fused_rollout
+    return jax.jit(lambda p, b: fused_rollout.forward_fused(
+        p, b, mcfg, v_pad=v_pad, m_pad=m_pad, tmax=tmax))
+
+
 def _accuracy(params, batch, cfg: Config, tmax: Optional[int] = None,
               forward: str = "dense", insts=None, deviation=None) -> float:
     """forward: "dense" (padded batch), "sparse" (block-diagonal Pallas
@@ -38,19 +54,13 @@ def _accuracy(params, batch, cfg: Config, tmax: Optional[int] = None,
         logits = tsp.forward(params, jb, cfg.model, tmax=tmax)
     else:
         from tsp_gnn_tpu.models import tsp_sparse
-        from tsp_gnn_tpu.ops import fused_rollout, layout
+        from tsp_gnn_tpu.ops import layout
         g = layout.build_uniform_block_graph(
             insts, deviation, pad_n=int(batch["vertex_mask"].shape[1]))
         sb = {k: jnp.asarray(v)
               for k, v in tsp_sparse.block_batch_arrays(g).items()}
-        if forward == "sparse":
-            logits = tsp_sparse.forward_sparse(
-                params, sb, cfg.model, v_pad=g.v_pad, m_pad=g.m_pad,
-                tmax=tmax)
-        else:
-            logits = fused_rollout.forward_fused(
-                params, sb, cfg.model, v_pad=g.v_pad, m_pad=g.m_pad,
-                tmax=tmax)
+        logits = _jit_forward(forward, cfg.model, g.v_pad, g.m_pad,
+                              tmax)(params, sb)
         batch = {k: np.asarray(v) for k, v in sb.items()} | {
             "labels": np.asarray(g.labels)}
     labels = jnp.asarray(batch["labels"])
