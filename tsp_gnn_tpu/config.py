@@ -35,6 +35,11 @@ class ModelConfig:
                                      # model variant giving sddmm a production
                                      # consumer incl. gradients [VERDICT r2 #10]
     remat: bool = True               # rematerialize the MP scan for backprop
+    remat_policy: str = "full"       # "full" (recompute everything) | "dots"
+                                     # (save MXU dot outputs, recompute the
+                                     # elementwise rest) — middle ground:
+                                     # the no-remat program crashes the
+                                     # tunnel compile helper (r3 sweep)
     scan_unroll: int = 1             # lax.scan unroll factor of the tmax loop
                                      # (XLA pipelines unrolled iterations;
                                      # must divide tmax when > 1)

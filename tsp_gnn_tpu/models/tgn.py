@@ -35,6 +35,14 @@ import jax.numpy as jnp
 from tsp_gnn_tpu.models import cells, mlp
 
 
+def checkpoint_step(step, remat_policy: str = "full"):
+    """jax.checkpoint with the configured rematerialisation policy."""
+    if remat_policy == "dots":
+        return jax.checkpoint(
+            step, policy=jax.checkpoint_policies.checkpoint_dots)
+    return jax.checkpoint(step)
+
+
 @dataclass(frozen=True)
 class TGNSpec:
     var: Mapping[str, int]
@@ -171,6 +179,7 @@ def tgn_run(
     return_trajectory: bool = False,
     aggregate=None,
     unroll: int = 1,
+    remat_policy: str = "full",
 ):
     """Run tmax iterations via lax.scan (reference: tf.while_loop).
 
@@ -179,7 +188,7 @@ def tgn_run(
     """
     step = lambda st: tgn_step(params, spec, matrices, st, masks, aggregate)
     if remat:
-        step = jax.checkpoint(step)
+        step = checkpoint_step(step, remat_policy)
 
     def body(carry, _):
         nxt = step(carry)

@@ -133,7 +133,8 @@ def forward(
     out = tgn_run(params["gnn"], spec, matrices, init, tmax,
                   masks=masks, remat=cfg.remat,
                   return_trajectory=return_trajectory,
-                  unroll=cfg.scan_unroll)
+                  unroll=cfg.scan_unroll,
+                  remat_policy=cfg.remat_policy)
     if return_trajectory:
         final, traj = out
     else:

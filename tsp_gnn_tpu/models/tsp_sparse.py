@@ -247,7 +247,8 @@ def forward_sparse(
     step = make_flat_step(cfg, params["gnn"], batch, {"V": vm, "E": em},
                           e_from_v, v_from_e, sddmm_op=sddmm_op)
     if cfg.remat:
-        step = jax.checkpoint(step)
+        from tsp_gnn_tpu.models.tgn import checkpoint_step
+        step = checkpoint_step(step, cfg.remat_policy)
 
     def body(carry, _):
         nxt = step(carry)

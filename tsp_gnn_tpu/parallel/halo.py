@@ -217,7 +217,8 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
                           sddmm_op=sddmm_op)
 
     if cfg.remat:
-        step = jax.checkpoint(step)
+        from tsp_gnn_tpu.models.tgn import checkpoint_step
+        step = checkpoint_step(step, cfg.remat_policy)
 
     final = jax.lax.scan(lambda s, _: (step(s), None), state, None,
                          length=tmax, unroll=min(cfg.scan_unroll, tmax))[0]
