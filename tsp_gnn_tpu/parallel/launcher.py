@@ -102,6 +102,12 @@ def run_with_restart(fn, max_restarts: int = 3, backoff_s: float = 10.0):
             return fn()
         except Exception:  # noqa: BLE001 — deliberate fail-stop boundary
             attempt += 1
+            import sys
+            import traceback
+            traceback.print_exc()
+            print(f"[launcher] attempt {attempt}/{max_restarts} failed; "
+                  f"{'giving up' if attempt > max_restarts else 'restarting'}",
+                  file=sys.stderr, flush=True)
             if attempt > max_restarts:
                 raise
             time.sleep(backoff_s * attempt)
