@@ -33,8 +33,10 @@ FORWARD_PATHS = ("dense", "sparse", "fused")
 def _jit_forward(forward: str, mcfg, v_pad: int, m_pad: int,
                  tmax: Optional[int]):
     """One compiled executable per (path, model-config, shape) — the
-    sparse/fused sweeps previously dispatched op-by-op (eager), which is
-    unusable through the ~35 ms/call tunnel."""
+    sweeps previously dispatched op-by-op (eager), which costs ~35 ms
+    tunnel latency per op."""
+    if forward == "dense":
+        return jax.jit(lambda p, b: tsp.forward(p, b, mcfg, tmax=tmax))
     if forward == "sparse":
         from tsp_gnn_tpu.models import tsp_sparse
         return jax.jit(lambda p, b: tsp_sparse.forward_sparse(
@@ -51,7 +53,7 @@ def _accuracy(params, batch, cfg: Config, tmax: Optional[int] = None,
     the same model (cross-checked in tests)."""
     if forward == "dense":
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        logits = tsp.forward(params, jb, cfg.model, tmax=tmax)
+        logits = _jit_forward("dense", cfg.model, 0, 0, tmax)(params, jb)
     else:
         from tsp_gnn_tpu.models import tsp_sparse
         from tsp_gnn_tpu.ops import layout
