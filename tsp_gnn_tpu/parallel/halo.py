@@ -340,8 +340,19 @@ def dryrun(mesh: Mesh, cfg=None) -> None:
                                    m_pad=g.m_pad)
     opt_state = jax.device_put(opt.init(params), NamedSharding(mesh, P()))
     params = jax.device_put(params, NamedSharding(mesh, P()))
+    # the compute/comm-overlapped halo schedule must also compile+run on
+    # the mesh (BASELINE configs[4] "overlapped with local aggregation");
+    # requires problems-per-device divisible by the ring size
+    overlap_ok = ""
+    b_local = g.num_problems // mesh.shape["data"]
+    if b_local % mesh.shape["graph"] == 0:
+        loss_ov_fn = make_sharded_loss(mcfg, mesh, v_pad=g.v_pad,
+                                       m_pad=g.m_pad, ring="overlap")
+        loss_ov, _ = jax.jit(loss_ov_fn)(params, jb)
+        assert abs(float(loss_ov) - float(loss)) < 1e-3, (loss_ov, loss)
+        overlap_ok = f" overlap-ring ok ({float(loss_ov):.4f})"
     params, opt_state, aux = step(params, opt_state, jb)
     jax.block_until_ready(aux["loss"])
     print(f"halo dryrun: mesh={dict(mesh.shape)} loss={float(loss):.4f} "
           f"sharded train step ok (post-step loss metric "
-          f"{float(aux['loss']):.4f})")
+          f"{float(aux['loss']):.4f}){overlap_ok}")
