@@ -84,6 +84,7 @@ def oracle_forward(
     cell_activation: str = "relu",
     msg_activation: str = "relu",
     feed_wc_each_step: bool = False,
+    edge_gating: bool = False,
     forget_bias: float = 1.0,
     ln_eps: float = 1e-12,
     dtype=np.float64,
@@ -119,8 +120,17 @@ def oracle_forward(
             msg_e = np_mlp(gnn["msgs"]["E_msg_V"], h_e, msg_activation)
             agg_e = EV @ msg_v          # E <- sum of endpoint vertex messages
             agg_v = EV.T @ msg_e        # V <- sum over incident edges
-            e_in = (np.concatenate([agg_e, W, C], axis=1)
-                    if feed_wc_each_step else agg_e)
+            e_cols = [agg_e]
+            if feed_wc_each_step:
+                e_cols += [W, C]
+            if edge_gating:
+                # SDDMM gate: per-edge <h_src, h_tgt> from PREVIOUS h_v
+                edges = [(u, v) for u in range(n) for v in range(u + 1, n)]
+                gate = np.asarray([h_v[u] @ h_v[v] for u, v in edges],
+                                  dtype).reshape(-1, 1)
+                e_cols.append(gate)
+            e_in = (np.concatenate(e_cols, axis=1) if len(e_cols) > 1
+                    else agg_e)
             c_v, h_v = np_lstm_step(gnn["cells"]["V"], agg_v, c_v, h_v,
                                     cell_activation, forget_bias, ln_eps)
             c_e, h_e = np_lstm_step(gnn["cells"]["E"], e_in, c_e, h_e,
