@@ -138,7 +138,7 @@ def _preset_n40() -> Config:
     (PERF.md; forward is ~1.5x faster).  `--bf16` off is one flag away.
     """
     return Config(
-        model=ModelConfig(tmax=32, scan_unroll=4),
+        model=ModelConfig(tmax=32, scan_unroll=32),
         data=DataConfig(n_min=20, n_max=40, batch_size=128, pad_n=40),
         train=TrainConfig(bf16=True),
     )
