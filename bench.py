@@ -70,8 +70,10 @@ def main():
     params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
     opt_state = tr.make_optimizer(cfg).init(params)
 
-    # production path: CHUNK optimizer steps per dispatch (train.py --chunk)
-    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    # production path: CHUNK optimizer steps per dispatch (train.py --chunk);
+    # 16 measured fastest (129.4->123.4 ms/step vs 8 at the flagship
+    # unroll-32 program, results/step_sweep_r3.jsonl)
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
     stacked = tr.device_batch({k: np.stack([v] * chunk)
                                for k, v in batch.items()})
 
@@ -92,7 +94,9 @@ def main():
     params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
     sync(params)
     warmup_s = time.perf_counter() - t_warm
-    cache_hit = warmup_s < 30.0
+    # cached-executable load of the fully-unrolled flagship program is
+    # ~50 s (deserialization); a true fresh remote compile is ~8 min
+    cache_hit = warmup_s < 120.0
 
     iters = max(1, int(os.environ.get("BENCH_STEPS", "40")) // chunk)
     t0 = time.perf_counter()

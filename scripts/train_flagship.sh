@@ -23,7 +23,7 @@ exec python -m tsp_gnn_tpu.train \
   --data-path datasets/train_n20_40 \
   --epochs "$EPOCHS" \
   --log-dir "$LOG_DIR" \
-  --chunk 8 \
+  --chunk 16 \
   --eval-instances 256 \
   --keep-checkpoints 8 \
   --curriculum-ramp 60 \
