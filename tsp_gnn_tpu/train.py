@@ -391,6 +391,8 @@ def main(argv=None):
     p.add_argument("--log-dir", default=None)
     p.add_argument("--curriculum-ramp", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None,
+                   help="Adam learning rate (default: preset value 2e-5)")
     p.add_argument("--tmax", type=int, default=None)
     p.add_argument("--data-path", default=None,
                    help="directory of npz shards / .graph files; "
@@ -445,6 +447,8 @@ def main(argv=None):
     if args.accum is not None:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     accum=args.accum))
+    if args.lr is not None:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, lr=args.lr))
     if args.tmax:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     if args.edge_gating:
