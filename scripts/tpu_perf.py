@@ -210,15 +210,12 @@ def big_shapes():
     lb_insts = int(os.environ.get("TPU_PERF_LB_INSTS", "4096"))
     if lb_insts <= 0:
         emit(kind="large_batch_skipped", reason="TPU_PERF_LB_INSTS<=0")
-        lb_insts = 0
+        _run_partition_overhead(emit)
+        return
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     insts = [generator.generate_instance(
         rng, int(rng.integers(20, 41)), "two_opt", 1) for _ in range(lb_insts)]
-    if not insts:
-        emit(kind="large_batch_host_assembly", skipped=True)
-        _run_partition_overhead(emit)
-        return
     g = layout.build_uniform_block_graph(insts, 0.02, 40)
     batch = tr.device_batch(tsp_sparse.block_batch_arrays(g))
     emit(kind="large_batch_host_assembly", s=time.perf_counter() - t0,

@@ -89,13 +89,11 @@ def held_karp_bound(dist: np.ndarray, iters: int = 100,
     step0 = 1.0
     for it in range(iters):
         d = dist + pi[None, :] + pi[:, None]
-        # Prim's MST over nodes 1..n-1 (O(n^2))
+        # Prim's MST over nodes 1..n-1 (O(n^2)), seeded at node 1
         in_tree = np.zeros(n, bool)
         in_tree[0] = True  # excluded from MST; handled by its 2 cheapest
-        key = d[1].copy()
-        key[0] = np.inf
-        parent = np.ones(n, np.int64)
         in_tree[1] = True
+        parent = np.ones(n, np.int64)
         deg = np.zeros(n, np.int64)
         w = 0.0
         key = d[1].copy()

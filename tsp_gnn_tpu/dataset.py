@@ -32,13 +32,21 @@ def _gen_chunk(args, n_min, n_max, solver, restarts, text):
 
 
 def _shard_count(path: str) -> int:
-    """Number of instances inside an existing npz shard (0 if absent/bad)."""
+    """Number of instances inside an existing npz shard (0 if absent/bad).
+
+    Fast path reads the v2 top-level "n" array; v1-format shards (one zip
+    member per instance) fall back to a full load so --resume still skips
+    them instead of relabeling."""
     if not os.path.exists(path):
         return 0
     try:
         import numpy as np
         with np.load(path, allow_pickle=False) as z:
-            return int(z["n"].shape[0])
+            if "format" in z.files:          # v2: concatenated arrays
+                return int(z["n"].shape[0])
+            if "count" in z.files:           # v1: per-instance zip members
+                return int(z["count"])
+        return 0
     except Exception:  # noqa: BLE001 — corrupt/partial shard: regenerate
         return 0
 

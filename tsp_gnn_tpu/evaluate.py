@@ -42,6 +42,9 @@ def _jit_forward(forward: str, mcfg, v_pad: int, m_pad: int,
         return jax.jit(lambda p, b: tsp_sparse.forward_sparse(
             p, b, mcfg, v_pad=v_pad, m_pad=m_pad, tmax=tmax))
     from tsp_gnn_tpu.ops import fused_rollout
+    assert not mcfg.edge_gating, (
+        "edge_gating is not implemented in the fused rollout kernel; "
+        "evaluate with --forward dense or sparse")
     return jax.jit(lambda p, b: fused_rollout.forward_fused(
         p, b, mcfg, v_pad=v_pad, m_pad=m_pad, tmax=tmax))
 

@@ -316,8 +316,12 @@ def dryrun(mesh: Mesh, cfg=None) -> None:
     mcfg = dataclasses.replace(cfg.model, tmax=3, d=16)
     dp = mesh.shape["data"]
     rng = np.random.default_rng(0)
+    # dp*gsize instances -> b_local = 2*gsize problems/device, divisible by
+    # the ring size on ANY mesh so the overlap-ring check below never
+    # silently skips (caught by review: dp instances left it dead at
+    # graph>2)
     insts = [generator.generate_instance(rng, 12, "two_opt", 1)
-             for _ in range(dp)]
+             for _ in range(dp * mesh.shape["graph"])]
     g = build_uniform_block_graph(insts, 0.02, pad_n=12)
     gsize = mesh.shape["graph"]
     # ensure partitionability: pad edge dim so m_pad/graph is a tile multiple

@@ -412,6 +412,9 @@ def main(argv=None):
                         "chunk into this directory")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute with f32 master params [B:L10]")
+    p.add_argument("--f32", action="store_true",
+                   help="force full f32 compute (overrides a preset's "
+                        "bf16 default, e.g. n40)")
     p.add_argument("--layout", choices=["dense", "sparse"], default=None,
                    help="batch layout: dense padded or block-diagonal "
                         "sparse (Pallas kernels / fused rollout)")
@@ -454,8 +457,11 @@ def main(argv=None):
     if args.edge_gating:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                     edge_gating=True))
+    assert not (args.bf16 and args.f32), "--bf16 and --f32 are exclusive"
     if args.bf16:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, bf16=True))
+    if args.f32:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, bf16=False))
     if args.layout:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     layout=args.layout))
