@@ -232,3 +232,20 @@ def test_held_karp_bound_valid_and_tight():
         lb = solver.held_karp_bound(d, iters=150)
         assert lb <= opt + 1e-9
         assert lb >= 0.97 * opt, f"bound too loose: {lb} vs {opt}"
+
+
+def test_shard_count_v1_format(tmp_path):
+    """--resume must recognise v1-format shards (per-instance zip members)
+    so it skips rather than relabels them [code-review r3]."""
+    from tsp_gnn_tpu.dataset import _shard_count
+    insts = generator.generate_instances(seed=1, count=4, n_min=8, n_max=10)
+    p = str(tmp_path / "v1.npz")
+    arrs = {"count": np.int32(4)}
+    for i, inst in enumerate(insts):
+        for k in ("n", "coords", "W", "tour", "opt_cost"):
+            arrs[f"{i}/{k}"] = np.asarray(inst[k])
+    np.savez(p, **arrs)
+    assert _shard_count(p) == 4
+    p2 = str(tmp_path / "v2.npz")
+    generator.save_shard(p2, insts)
+    assert _shard_count(p2) == 4
