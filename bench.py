@@ -94,8 +94,10 @@ def main():
     params, opt_state, m = tr.train_chunk(params, opt_state, stacked, cfg)
     sync(params)
     warmup_s = time.perf_counter() - t_warm
+    # HEURISTIC, machine/toolchain-specific [ADVICE r3]: on THIS tunnel a
     # cached-executable load of the fully-unrolled flagship program is
-    # ~50 s (deserialization); a true fresh remote compile is ~8 min
+    # ~50 s (deserialization) and a true fresh remote compile is ~8 min;
+    # warmup_s itself is the recorded fact, the boolean just labels it
     cache_hit = warmup_s < 120.0
 
     iters = max(1, int(os.environ.get("BENCH_STEPS", "40")) // chunk)
@@ -137,7 +139,7 @@ def main():
                       "unit": "edge-updates/s",
                       "vs_baseline": round(eps / R1_HONEST_EDGES_PER_S, 4),
                       "warmup_s": round(warmup_s, 1),
-                      "compile_cache_hit": cache_hit}))
+                      "compile_cache_hit_heuristic": cache_hit}))
 
 
 if __name__ == "__main__":

@@ -147,3 +147,40 @@ def test_train_with_accum_runs(tmp_path):
     assert np.isfinite(out["metrics"]["train_loss"])
     # 16 micro-batches/epoch at accum 4 -> 4 optimizer steps per epoch
     assert out["metrics"]["step"] == 8
+
+
+def test_finite_generated_stream_restarts(tmp_path, monkeypatch):
+    """A generated (non-file) stream that exhausts mid-epoch restarts via
+    fresh_stream instead of raising NameError [VERDICT r3 weak #4]."""
+    import itertools
+    cfg = small_cfg()
+    real = tr.batch_stream
+
+    def finite_stream(cfg_, seed, curriculum=None, epoch=0):
+        return itertools.islice(real(cfg_, seed, curriculum, epoch), 3)
+
+    monkeypatch.setattr(tr, "batch_stream", finite_stream)
+    out = tr.train(cfg, epochs=1, seed=3, log_dir=str(tmp_path),
+                   eval_instances=8)
+    assert np.isfinite(out["metrics"]["train_loss"])
+
+
+def test_nan_halt_event(tmp_path, monkeypatch):
+    """A poisoned batch must trigger the NaN sanitizer: a `nan_halt` metrics
+    event plus a fail-stop FloatingPointError [SURVEY §5, VERDICT r3 #6]."""
+    import json
+    cfg = small_cfg()
+    real = tr.batch_stream
+
+    def poisoned(cfg_, seed, curriculum=None, epoch=0):
+        for b in real(cfg_, seed, curriculum, epoch):
+            b = dict(b)
+            b["W"] = np.full_like(b["W"], np.nan)
+            yield b
+
+    monkeypatch.setattr(tr, "batch_stream", poisoned)
+    with pytest.raises(FloatingPointError):
+        tr.train(cfg, epochs=1, seed=4, log_dir=str(tmp_path),
+                 eval_instances=8)
+    rows = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
+    assert any(r.get("event") == "nan_halt" for r in rows)

@@ -101,9 +101,18 @@ class InstanceLoader:
                 self._dir = source
                 assert self._shard_paths(), f"no instances found in {source}"
                 if pad_n is None:
-                    # peek one shard rather than scanning the whole set
-                    first = generator.load_shard(self._shard_paths()[0])
-                    pad_n = max(int(i["n"]) for i in first)
+                    # scan EVERY shard's size members (cheap: shard_max_n
+                    # decompresses only the 'n' arrays) — peeking the first
+                    # shard crashed mid-training on directories whose later
+                    # shards hold larger n [VERDICT r3 weak #3].  .graph
+                    # text files in the directory are scanned too.
+                    import glob
+                    pad_n = max(generator.shard_max_n(p)
+                                for p in self._shard_paths())
+                    for gp in glob.glob(os.path.join(source, "*.graph")):
+                        from tsp_gnn_tpu.data import fileio
+                        pad_n = max(pad_n, int(fileio.read_graph(gp)["n"]))
+                    assert pad_n > 0, f"no readable instances in {source}"
             else:
                 self.instances = generator.load_shard(source)
         else:

@@ -35,8 +35,9 @@ def _shard_count(path: str) -> int:
     """Number of instances inside an existing npz shard (0 if absent/bad).
 
     Fast path reads the v2 top-level "n" array; v1-format shards (one zip
-    member per instance) fall back to a full load so --resume still skips
-    them instead of relabeling."""
+    member per instance) are counted from their top-level "count" member.
+    A v1 archive without "count" (never written by this codebase) returns 0
+    and is regenerated — the safe direction for --resume."""
     if not os.path.exists(path):
         return 0
     try:

@@ -30,9 +30,15 @@ def make_figures(rows, out_dir: str):
         by_sweep[r.get("sweep")].append(r)
     written = []
 
-    def plot(xs, ys, xlabel, title, fname, xlog=False):
+    def plot(xs, ys, xlabel, title, fname, xlog=False, sems=None):
         fig, ax = plt.subplots(figsize=(5, 3.5))
-        ax.plot(xs, ys, marker="o")
+        if sems is not None and any(s is not None for s in sems):
+            # multi-set protocol rows carry a standard error of the mean —
+            # render it [VERDICT r3 weak #6]
+            err = [s if s is not None else 0.0 for s in sems]
+            ax.errorbar(xs, ys, yerr=err, marker="o", capsize=3)
+        else:
+            ax.plot(xs, ys, marker="o")
         ax.axhline(0.5, color="gray", lw=0.8, ls="--", label="chance")
         ax.set_xlabel(xlabel)
         ax.set_ylabel("decision accuracy")
@@ -50,17 +56,17 @@ def make_figures(rows, out_dir: str):
         plot([r["deviation"] * 100 for r in rs],
              [r["accuracy"] for r in rs],
              "cost deviation (%)", "Accuracy vs deviation",
-             "accuracy_vs_deviation.png")
+             "accuracy_vs_deviation.png", sems=[r.get("sem") for r in rs])
     if by_sweep.get("size"):
         rs = sorted(by_sweep["size"], key=lambda r: r["n"])
         plot([r["n"] for r in rs], [r["accuracy"] for r in rs],
              "test instance size n", "Size generalization",
-             "size_generalization.png")
+             "size_generalization.png", sems=[r.get("sem") for r in rs])
     if by_sweep.get("tmax"):
         rs = sorted(by_sweep["tmax"], key=lambda r: r["tmax"])
         plot([r["tmax"] for r in rs], [r["accuracy"] for r in rs],
              "message-passing iterations (test)", "tmax extrapolation",
-             "tmax_extrapolation.png")
+             "tmax_extrapolation.png", sems=[r.get("sem") for r in rs])
     return written
 
 

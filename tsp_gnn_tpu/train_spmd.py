@@ -154,7 +154,16 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                                     NamedSharding(mesh, specs[k]))
                   for k, v in batch.items()}
             params, opt_state, aux = step_fn(params, opt_state, jb)
-            losses.append(float(aux["loss"]))
+            loss_f = float(aux["loss"])
+            if not np.isfinite(loss_f):
+                # NaN sanitizer [SURVEY §5]: fail-stop (launcher restarts
+                # from the latest checkpoint up to --max-restarts)
+                logger.log(event="nan_halt", epoch=epoch, loss=loss_f)
+                logger.close()
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}; resume from the "
+                    f"latest checkpoint in {ckpt_dir}")
+            losses.append(loss_f)
             accs.append(float(aux["accuracy"]))
         dt = time.time() - t0
         final = logger.log(event="epoch", epoch=epoch,
