@@ -44,6 +44,100 @@ def dense_flops_per_step(B: int, n: int, m: int, d: int, tmax: int,
     return fwd * mult
 
 
+def bucketed_bench(cfg, chunk: int, buckets_env: str):
+    """Size-bucketed flagship bench: instances from the preset distribution
+    are bucketized into batches (train.bucketize), chunks group same-shape
+    batches, and the timed loop dispatches the natural mixed sequence.
+    edges/s counts REAL edges only, so the gain over the single-pad path is
+    exactly the padding compute recovered."""
+    import jax
+    import numpy as np
+
+    from tsp_gnn_tpu import train as tr
+    from tsp_gnn_tpu.data import generator
+    from tsp_gnn_tpu.data.loader import make_dense_batch
+    from tsp_gnn_tpu.models import tsp
+    from tsp_gnn_tpu.utils import profiling
+
+    buckets = tuple(int(x) for x in buckets_env.split(","))
+    iters = max(1, int(os.environ.get("BENCH_STEPS", "48")) // chunk)
+    rng = np.random.default_rng(1)
+
+    def gen():
+        while True:
+            yield generator.generate_instance(
+                rng, int(rng.integers(cfg.data.n_min, cfg.data.n_max + 1)),
+                "two_opt", restarts=1)
+
+    queues, chunks = {}, []
+    for pad, insts_b in tr.bucketize(gen(), cfg.data.batch_size, buckets):
+        b = make_dense_batch(insts_b, cfg.data.deviation, pad)
+        q = queues.setdefault(pad, [])
+        q.append(b)
+        if len(q) == chunk:
+            chunks.append({k: np.stack([bb[k] for bb in q]) for k in q[0]})
+            queues[pad] = []
+        if len(chunks) == iters:
+            break
+
+    params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+    opt_state = tr.make_optimizer(cfg).init(params)
+
+    def sync(p):
+        np.asarray(jax.tree.leaves(p)[0])
+
+    # warmup = compile every distinct bucket shape once
+    t_warm = time.perf_counter()
+    for shape_chunk in {c["W"].shape: c for c in chunks}.values():
+        params, opt_state, _ = tr.train_chunk(
+            params, opt_state, tr.device_batch(shape_chunk), cfg)
+        sync(params)
+    warmup_s = time.perf_counter() - t_warm
+    cache_hit = warmup_s < 120.0 * len(buckets)   # heuristic, as in main()
+
+    t0 = time.perf_counter()
+    for c in chunks:
+        params, opt_state, _ = tr.train_chunk(params, opt_state,
+                                              tr.device_batch(c), cfg)
+        sync(params)
+    dt = time.perf_counter() - t0
+
+    edge_updates = sum(int(c["n_edges"].sum()) for c in chunks) \
+        * cfg.model.tmax
+    eps = edge_updates / dt
+    flops = sum(dense_flops_per_step(
+        int(c["labels"].shape[1]), _pad_from_m(int(c["W"].shape[2])),
+        int(c["W"].shape[2]), cfg.model.d, cfg.model.tmax,
+        mlp_depth=cfg.model.mlp_depth, remat=cfg.model.remat) * chunk
+        for c in chunks)
+    achieved = flops / dt
+    peak = (profiling.V5E_PEAK_BF16_FLOPS if cfg.train.bf16
+            else profiling.V5E_PEAK_F32_FLOPS)
+    if achieved > peak:
+        print(json.dumps({"metric": "edges_per_s_per_chip", "value": None,
+                          "unit": "edge-updates/s", "vs_baseline": None,
+                          "error": f"IMPLAUSIBLE: {achieved/1e12:.1f} TFLOP/s"
+                                   f" > peak {peak/1e12:.0f}"}))
+        sys.exit(1)
+    n_steps = len(chunks) * chunk
+    print(f"[bench bucketed {buckets}] {eps/1e6:.2f}M edge-updates/s | "
+          f"{achieved/1e12:.2f} TFLOP/s ({100*achieved/peak:.1f}% of peak) | "
+          f"step {dt/n_steps*1e3:.1f} ms avg | warmup {warmup_s:.1f}s",
+          file=sys.stderr)
+    print(json.dumps({"metric": "edges_per_s_per_chip", "value": eps,
+                      "unit": "edge-updates/s",
+                      "vs_baseline": round(eps / R1_HONEST_EDGES_PER_S, 4),
+                      "warmup_s": round(warmup_s, 1),
+                      "compile_cache_hit_heuristic": cache_hit,
+                      "buckets": list(buckets)}))
+
+
+def _pad_from_m(m_pad: int) -> int:
+    """Invert m = n(n-1)/2 for the FLOP model."""
+    n = int((1 + (1 + 8 * m_pad) ** 0.5) / 2)
+    return n
+
+
 def main():
     import jax
     import numpy as np
@@ -74,6 +168,13 @@ def main():
     # 16 measured fastest (129.4->123.4 ms/step vs 8 at the flagship
     # unroll-32 program, results/step_sweep_r3.jsonl)
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+
+    # BENCH_BUCKETS="28,34,40": measure the size-bucketed batching path
+    # (train.py --buckets) — the true mixed-size throughput including each
+    # bucket's natural frequency under the preset's n ~ U{20..40}
+    buckets_env = os.environ.get("BENCH_BUCKETS")
+    if buckets_env:
+        return bucketed_bench(cfg, chunk, buckets_env)
     stacked = tr.device_batch({k: np.stack([v] * chunk)
                                for k, v in batch.items()})
 

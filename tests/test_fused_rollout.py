@@ -2,6 +2,7 @@
 import dataclasses
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -44,3 +45,54 @@ def test_fused_tanh_cell():
                                       m_pad=g.m_pad, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-5)
+
+
+def _bce(logits, labels):
+    logits = logits.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(logits, 0) - logits * labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_fused_bwd_forward_matches_scan(group):
+    """The trajectory-saving forward (ops/rollout_grad) must reproduce the
+    scan-path logits exactly like the forward-only fused kernel does."""
+    from tsp_gnn_tpu.ops import rollout_grad
+    cfg, params, batch, g = _setup()
+    want = tsp_sparse.forward_sparse(params, batch, cfg, v_pad=g.v_pad,
+                                     m_pad=g.m_pad, use_pallas=False)
+    got = rollout_grad.forward_fused_train(
+        params, batch, cfg, v_pad=g.v_pad, m_pad=g.m_pad, group=group,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("cell_act", ["relu", "tanh"])
+def test_fused_bwd_grads_match_scan(cell_act):
+    """THE contract of the fused Pallas backward [VERDICT r3 #1]: parameter
+    gradients of the BCE loss through ops/rollout_grad equal jax.grad of
+    the (tested-correct) scan path."""
+    from tsp_gnn_tpu.ops import rollout_grad
+    cfg, params, batch, g = _setup()
+    cfg = dataclasses.replace(cfg, cell_activation=cell_act)
+    labels = batch["labels"].astype(jnp.float32)
+
+    def loss_scan(p):
+        logits = tsp_sparse.forward_sparse(p, batch, cfg, v_pad=g.v_pad,
+                                           m_pad=g.m_pad, use_pallas=False)
+        return _bce(logits, labels)
+
+    def loss_fused(p):
+        logits = rollout_grad.forward_fused_train(
+            p, batch, cfg, v_pad=g.v_pad, m_pad=g.m_pad, group=2,
+            interpret=True)
+        return _bce(logits, labels)
+
+    g_scan = jax.grad(loss_scan)(params)
+    g_fused = jax.grad(loss_fused)(params)
+    flat_s, _ = jax.flatten_util.ravel_pytree(g_scan)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
+    scale = float(jnp.max(jnp.abs(flat_s))) + 1e-12
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_s),
+                               rtol=2e-3, atol=2e-3 * scale)

@@ -80,3 +80,34 @@ def test_sparse_layout_end_to_end_train(tmp_path):
     out = tr.train(cfg, epochs=1, seed=0, log_dir=str(tmp_path),
                    eval_instances=8)
     assert np.isfinite(out["metrics"]["train_loss"])
+
+
+def test_fused_bwd_train_step_learns():
+    """train_step with kernel.fused_bwd=True (the fused Pallas backward,
+    ops/rollout_grad) runs and learns — full wiring through _model_loss."""
+    cfg = _cfg()
+    cfg = cfg.replace(kernel=KernelConfig(use_pallas=True, fused_bwd=True,
+                                          bwd_tile=2))
+    params = tsp.tsp_init(jax.random.PRNGKey(1), cfg.model)
+    opt_state = tr.make_optimizer(cfg).init(params)
+    batch = _batch(cfg)
+    losses = []
+    for _ in range(6):
+        params, opt_state, m = tr.train_step(params, opt_state, batch, cfg)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_fused_bwd_train_step_bf16():
+    """Mixed-precision (bf16 compute) through the fused backward path."""
+    cfg = _cfg()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, bf16=True),
+        kernel=KernelConfig(use_pallas=True, fused_bwd=True, bwd_tile=2))
+    params = tsp.tsp_init(jax.random.PRNGKey(1), cfg.model)
+    opt_state = tr.make_optimizer(cfg).init(params)
+    batch = _batch(cfg)
+    for _ in range(2):
+        params, opt_state, m = tr.train_step(params, opt_state, batch, cfg)
+        assert np.isfinite(float(m["loss"]))

@@ -184,3 +184,46 @@ def test_nan_halt_event(tmp_path, monkeypatch):
                  eval_instances=8)
     rows = [json.loads(line) for line in open(tmp_path / "metrics.jsonl")]
     assert any(r.get("event") == "nan_halt" for r in rows)
+
+
+def test_pad_invariance():
+    """Dense-path logits must not depend on pad_n — the size-bucketed
+    batching contract: the same instances padded to 12 vs 20 vertices give
+    the same logits (masked padding is inert end to end)."""
+    import jax.numpy as jnp
+    cfg = get_config("pr1")
+    mcfg = dataclasses.replace(cfg.model, d=16, tmax=4)
+    rng = np.random.default_rng(0)
+    insts = [generator.generate_instance(rng, 12, "two_opt", 1)
+             for _ in range(3)]
+    params = tsp.tsp_init(jax.random.PRNGKey(0), mcfg)
+    logits = []
+    for pad in (12, 20):
+        b = make_dense_batch(insts, 0.02, pad)
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        logits.append(np.asarray(tsp.forward(params, jb, mcfg)))
+    np.testing.assert_allclose(logits[0], logits[1], rtol=1e-5, atol=1e-6)
+
+
+def test_bucketize_unit():
+    insts = [{"n": n} for n in (8, 12, 9, 10, 11, 12, 8, 10)]
+    got = list(tr.bucketize(iter(insts), 2, (10, 12)))
+    # batches fill per bucket in arrival order; the trailing incomplete
+    # buckets (one 12, one 10) stay pending
+    assert [(pad, [i["n"] for i in b]) for pad, b in got] == [
+        (10, [8, 9]), (12, [12, 11]), (10, [10, 8])]
+
+
+def test_bucketed_training_runs(tmp_path):
+    """Bucketed batches (mixed shapes) train through the shape-grouped
+    chunk dispatch; loss stays finite and metrics are written."""
+    cfg = small_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, n_min=8, n_max=12, pad_n=12,
+                                 bucket_pads=(10, 12), batch_size=8),
+        train=dataclasses.replace(cfg.train, batches_per_epoch=8),
+    )
+    out = tr.train(cfg, epochs=2, seed=0, log_dir=str(tmp_path),
+                   eval_instances=8, chunk=2)
+    assert np.isfinite(out["metrics"]["train_loss"])
+    assert os.path.exists(tmp_path / "metrics.jsonl")

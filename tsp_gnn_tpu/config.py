@@ -64,6 +64,14 @@ class DataConfig:
     batch_size: int = 16             # instances per batch (paper: 16)
     # padded dense layout: instances padded to pad_n vertices
     pad_n: Optional[int] = None      # default: n_max
+    bucket_pads: Optional[Tuple[int, ...]] = None
+    # size-bucketed batching: each batch holds instances padded to the
+    # smallest listed size >= n (e.g. (28, 34, 40)) instead of a single
+    # pad_n.  Cuts the dense path's padding compute (~42% of the flagship's
+    # edge slots are padding at pad_n=40, E[n]=30) at the cost of one
+    # compiled program per bucket.  Model logits are pad-invariant
+    # (tests/test_oracle_allclose.py::test_pad_invariance), so this changes
+    # throughput, not semantics.
 
 
 @dataclass(frozen=True)
@@ -102,7 +110,17 @@ class KernelConfig:
     """Pallas kernel knobs (consumed by train.py --layout sparse)."""
     use_pallas: bool = True          # Pallas SpMM kernels on the sparse path
     fused: bool = False              # fused VMEM rollout as training forward
+                                     # (backward = scan recompute)
+    fused_bwd: bool = False          # fused rollout with the fused Pallas
+                                     # BACKWARD kernel (ops/rollout_grad):
+                                     # trajectory-saving forward + one
+                                     # VMEM-resident reverse sweep, no scan
+                                     # recompute [VERDICT r3 #1]
     batch_tile: int = 8              # problems per fused-kernel grid step
+    bwd_tile: int = 2                # problems per grid step on the
+                                     # fused-backward path (trajectory
+                                     # blocks are double-buffered: VMEM
+                                     # holds 2x the per-group trajectory)
     tile_e: int = 1024               # edge-tile size of the SpMM kernels
 
 

@@ -55,10 +55,16 @@ def _model_loss(params, batch, cfg: Config):
     m_pad = batch["edge_mask"].shape[0] // B
     v_pad = batch["vert_mask"].shape[0] // B
     kc = cfg.kernel
-    if kc.fused:
-        logits_fn = tsp_sparse.make_fused_logits(
-            cfg.model, v_pad=v_pad, m_pad=m_pad, group=kc.batch_tile)
-        logits = logits_fn(params, batch).astype(jnp.float32)
+    if kc.fused or kc.fused_bwd:
+        if kc.fused_bwd:
+            from tsp_gnn_tpu.ops import rollout_grad
+            logits = rollout_grad.forward_fused_train(
+                params, batch, cfg.model, v_pad=v_pad, m_pad=m_pad,
+                group=kc.bwd_tile).astype(jnp.float32)
+        else:
+            logits_fn = tsp_sparse.make_fused_logits(
+                cfg.model, v_pad=v_pad, m_pad=m_pad, group=kc.batch_tile)
+            logits = logits_fn(params, batch).astype(jnp.float32)
         labels = batch["labels"].astype(jnp.float32)
         loss = jnp.mean(jnp.maximum(logits, 0) - logits * labels
                         + jnp.log1p(jnp.exp(-jnp.abs(logits))))
@@ -187,6 +193,27 @@ def build_batch(insts, deviation: float, pad_n: int,
                                                         pad_n))
 
 
+def bucketize(instances: Iterator[Dict], batch_size: int,
+              buckets) -> Iterator[Tuple[int, list]]:
+    """Group an instance stream into (pad_n, batch) pairs, each batch holding
+    `batch_size` instances padded to the smallest bucket >= its n.
+
+    Size-bucketed batching [SURVEY §2.5 batching is ours to design]: the
+    single-pad dense layout spends ~42% of its edge compute on padding at
+    the flagship distribution (pad 40, E[n]=30); bucketing recovers it.
+    """
+    buckets = sorted(buckets)
+    pending: Dict[int, list] = {b: [] for b in buckets}
+    for inst in instances:
+        n = int(inst["n"])
+        b = next((b for b in buckets if b >= n), None)
+        assert b is not None, f"instance n={n} exceeds largest bucket"
+        pending[b].append(inst)
+        if len(pending[b]) == batch_size:
+            yield b, pending[b]
+            pending[b] = []
+
+
 def batch_stream(cfg: Config, seed: int, curriculum: Optional[Curriculum] = None,
                  epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """On-the-fly instance generation -> feed-ready batches."""
@@ -196,16 +223,31 @@ def batch_stream(cfg: Config, seed: int, curriculum: Optional[Curriculum] = None
     pad_n = d.pad_n or d.n_max
     if d.stream_workers > 0:
         from tsp_gnn_tpu.data.pipeline import parallel_instance_batches
-        for insts in parallel_instance_batches(
-                seed, d.batch_size, lo, hi, d.solver, d.two_opt_restarts,
-                workers=d.stream_workers):
-            yield build_batch(insts, dev, pad_n, cfg.train.layout)
+        inst_batches = parallel_instance_batches(
+            seed, d.batch_size, lo, hi, d.solver, d.two_opt_restarts,
+            workers=d.stream_workers)
+        if d.bucket_pads:
+            insts = (i for bb in inst_batches for i in bb)
+            for pad, chunk in bucketize(insts, d.batch_size, d.bucket_pads):
+                yield build_batch(chunk, dev, pad, cfg.train.layout)
+        else:
+            for insts in inst_batches:
+                yield build_batch(insts, dev, pad_n, cfg.train.layout)
         return
     rng = np.random.default_rng(seed)
+
+    def gen():
+        while True:
+            yield generator.generate_instance(
+                rng, int(rng.integers(lo, hi + 1)), d.solver,
+                d.two_opt_restarts)
+
+    if d.bucket_pads:
+        for pad, chunk in bucketize(gen(), d.batch_size, d.bucket_pads):
+            yield build_batch(chunk, dev, pad, cfg.train.layout)
+        return
     while True:
-        insts = [generator.generate_instance(
-            rng, int(rng.integers(lo, hi + 1)), d.solver, d.two_opt_restarts)
-            for _ in range(d.batch_size)]
+        insts = [next(gen()) for _ in range(d.batch_size)]
         yield build_batch(insts, dev, pad_n, cfg.train.layout)
 
 
@@ -292,10 +334,17 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             file_loader.max_n = n_hi if n_hi < cfg.data.n_max else None
 
             def fresh_stream():
+                inst_batches = file_loader.get_instance_batches(
+                    cfg.data.batch_size)
+                if cfg.data.bucket_pads:
+                    insts = (i for bb in inst_batches for i in bb)
+                    return (build_batch(chunk, dev, pad, cfg.train.layout)
+                            for pad, chunk in bucketize(
+                                insts, cfg.data.batch_size,
+                                cfg.data.bucket_pads))
                 return (build_batch(chunk, dev, file_loader.pad_n,
                                     cfg.train.layout)
-                        for chunk in file_loader.get_instance_batches(
-                            cfg.data.batch_size))
+                        for chunk in inst_batches)
         else:
             # defined for BOTH sources: next_batch's StopIteration recovery
             # calls it, and a finite generated stream (e.g. a bounded worker
@@ -334,14 +383,26 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             observed 2026-08-17 on the first run after trying it).  Transfer
             dispatch is async anyway, so the critical-path cost is small."""
             nonlocal edge_updates
-            for _ in range(cfg.train.batches_per_epoch // group):
-                bs = [next_batch() for _ in range(group)]
-                for b in bs:
-                    edge_updates += edges_per_step(b, cfg.model.tmax)
+            # chunks are grouped BY SHAPE: with bucketed batching the stream
+            # interleaves bucket sizes, and a stacked dispatch needs uniform
+            # arrays.  Without buckets every batch has the same shape and
+            # this degenerates to the simple sequential grouping.
+            queues: Dict[tuple, list] = {}
+            emitted = 0
+            while emitted < cfg.train.batches_per_epoch // group:
+                b = next_batch()
+                q = queues.setdefault(b["W"].shape, [])
+                q.append(b)
+                if len(q) < group:
+                    continue
+                queues[b["W"].shape] = []
+                emitted += 1
+                for bb in q:
+                    edge_updates += edges_per_step(bb, cfg.model.tmax)
                 if group == 1:
-                    yield bs[0]
+                    yield q[0]
                 else:
-                    yield {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+                    yield {k: np.stack([bb[k] for bb in q]) for k in q[0]}
 
         from tsp_gnn_tpu.data.pipeline import prefetch
         from tsp_gnn_tpu.utils.profiling import maybe_trace
@@ -435,6 +496,10 @@ def main(argv=None):
     p.add_argument("--layout", choices=["dense", "sparse"], default=None,
                    help="batch layout: dense padded or block-diagonal "
                         "sparse (Pallas kernels / fused rollout)")
+    p.add_argument("--fused-bwd", action="store_true",
+                   help="sparse layout: train through the fused Pallas "
+                        "backward kernel (trajectory forward + VMEM "
+                        "reverse sweep, no scan recompute)")
     p.add_argument("--edge-gating", action="store_true",
                    help="model variant: feed the SDDMM edge gate "
                         "<h_src, h_tgt> to the E cell each iteration")
@@ -442,6 +507,11 @@ def main(argv=None):
                    help="held-out eval-set size (per-epoch eval_acc; "
                         "64 is noisy — checkpoint selection benefits from "
                         "more)")
+    p.add_argument("--buckets", default=None,
+                   help="size-bucketed batching: comma-separated pad sizes "
+                        "(e.g. 28,34,40); each batch holds instances padded "
+                        "to the smallest bucket >= n, cutting the dense "
+                        "path's padding compute")
     p.add_argument("--stream-workers", type=int, default=None,
                    help="label the on-the-fly training stream in a process "
                         "pool of this size (keeps the ILS solver off the "
@@ -461,6 +531,12 @@ def main(argv=None):
     if args.stream_workers is not None:
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, stream_workers=args.stream_workers))
+    if args.buckets is not None:
+        pads = tuple(int(x) for x in args.buckets.split(","))
+        assert max(pads) >= cfg.data.n_max, (
+            f"largest bucket {max(pads)} < n_max {cfg.data.n_max}")
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   bucket_pads=pads))
     if args.keep_checkpoints is not None:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, keep_checkpoints=args.keep_checkpoints))
@@ -482,6 +558,10 @@ def main(argv=None):
     if args.layout:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     layout=args.layout))
+    if args.fused_bwd:
+        assert cfg.train.layout == "sparse", "--fused-bwd needs --layout sparse"
+        cfg = cfg.replace(kernel=dataclasses.replace(cfg.kernel,
+                                                     fused_bwd=True))
     train(cfg, epochs=args.epochs, seed=args.seed, log_dir=args.log_dir,
           curriculum_ramp=args.curriculum_ramp, data_path=args.data_path,
           dev_start=args.dev_start, chunk=args.chunk,
