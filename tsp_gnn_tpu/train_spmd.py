@@ -76,7 +76,8 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                log_dir: str = "runs/spmd", steps_per_epoch: int = 32,
                use_pallas: Optional[bool] = None,
                topo: Optional[dict] = None, data_path: Optional[str] = None,
-               stream_workers: int = 0, ring: str = "psum") -> dict:
+               stream_workers: int = 0, ring: str = "psum",
+               profile_dir: Optional[str] = None) -> dict:
     # idempotent when main() already ran it before any backend touch
     topo = topo or launcher.initialize()
     mesh = make_mesh(data_axis, graph_axis)
@@ -142,18 +143,25 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
             yield halo.shard_batch_arrays(g)
 
     from tsp_gnn_tpu.data.pipeline import prefetch
+    from tsp_gnn_tpu.utils.profiling import maybe_trace
     batches = prefetch(host_batches(), depth=2)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, accs = [], []
         edge_updates = 0
-        for _ in range(steps_per_epoch):
+        for step_i in range(steps_per_epoch):
+            # profile exactly one steady-state step of the first epoch
+            do_trace = (profile_dir and epoch == start_epoch
+                        and step_i == 2)
             batch = next(batches)
             edge_updates += int(batch["n_edges"].sum()) * cfg.model.tmax
             jb = {k: jax.device_put(jnp.asarray(v),
                                     NamedSharding(mesh, specs[k]))
                   for k, v in batch.items()}
-            params, opt_state, aux = step_fn(params, opt_state, jb)
+            with maybe_trace(profile_dir if do_trace else None):
+                params, opt_state, aux = step_fn(params, opt_state, jb)
+                if do_trace:
+                    jax.block_until_ready(aux["loss"])
             loss_f = float(aux["loss"])
             if not np.isfinite(loss_f):
                 # NaN sanitizer [SURVEY §5]: fail-stop (launcher restarts
@@ -213,6 +221,15 @@ def main(argv=None):
                    help="label the on-the-fly stream in a process pool of "
                         "this size (n=200 ILS is ~0.5 s/instance — never "
                         "solve serially in the step loop)")
+    p.add_argument("--deviation", type=float, default=None,
+                   help="override the preset's cost deviation (lift-off "
+                        "recipe: train at a larger deviation first, then "
+                        "resume at the target one — the flagship's "
+                        "dev-anneal, VERDICT r3 #3)")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of one steady-state "
+                        "step into this directory")
     args = p.parse_args(argv)
     # MULTI-HOST ORDERING: the distributed rendezvous must precede ANY
     # backend use (jax.device_count below initialises the backend) —
@@ -221,10 +238,15 @@ def main(argv=None):
     from tsp_gnn_tpu.utils.system import enable_compilation_cache
     enable_compilation_cache()
     cfg = get_config(args.preset)
+    import dataclasses
     if args.batch_size:
-        import dataclasses
         cfg = cfg.replace(data=dataclasses.replace(cfg.data,
                                                    batch_size=args.batch_size))
+    if args.deviation is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   deviation=args.deviation))
+    if args.lr is not None:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, lr=args.lr))
     data_axis = args.data
     if data_axis == -1:
         data_axis = max(1, jax.device_count() // args.graph)
@@ -235,7 +257,7 @@ def main(argv=None):
                            steps_per_epoch=args.steps_per_epoch, topo=topo,
                            data_path=args.data_path,
                            stream_workers=args.stream_workers,
-                           ring=args.ring),
+                           ring=args.ring, profile_dir=args.profile_dir),
         max_restarts=args.max_restarts)
 
 
