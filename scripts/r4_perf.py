@@ -286,18 +286,17 @@ def sol(insts):
             return fn(x), None
         return jax.jit(lambda x: jax.lax.scan(body, x, None, length=K)[0])
 
+    del x_e
     cases = [
-        # e_from_v: reads x_v [N,d] + indices, writes [M,d]; ideal compute
-        # = M*d adds (two gathered rows summed)
-        ("e_from_v",
-         lambda x: spmm.e_from_v(src2, tgt2, em2, x, **kw) * 0.25, x_v,
-         (N + M) * d * f32 + idx_bytes, M * d),
-        # v_from_e: reads x_e [M,d] + indices, writes [N,d]; ideal compute
-        # = 2*M*d adds (each edge accumulates into 2 vertices)
-        ("v_from_e",
-         lambda x: spmm.v_from_e(src2, tgt2, em2, x, num_problems=B,
-                                 **kw) * 0.25, x_e,
-         (N + M) * d * f32 + idx_bytes, 2 * M * d),
+        # aggregation ROUND-TRIP v_from_e(e_from_v(x)): shape-preserving, so
+        # it chains; ideal bytes = both kernels' minimal traffic (x_v and
+        # x_e each read+written once, indices read twice), ideal compute =
+        # M*d (gather-add) + 2*M*d (scatter-add)
+        ("agg_roundtrip",
+         lambda x: spmm.v_from_e(
+             src2, tgt2, em2, spmm.e_from_v(src2, tgt2, em2, x, **kw),
+             num_problems=B, **kw) * 0.25, x_v,
+         2 * (N + M) * d * f32 + 2 * idx_bytes, 3 * M * d),
         # sddmm: reads x_v + indices, writes [M]; ideal = 2*M*d madds.
         # The chain feeds a tiny function of the output back into x so the
         # kernel cannot be DCE'd; the extra [N,d] add + [M] reduction is

@@ -1,19 +1,31 @@
 """Fused Pallas BACKWARD for the VMEM-resident rollout [VERDICT r3 #1].
 
-The scan training path pays ~4 forward-equivalents per step (fwd +
-remat-recompute + ~2x-fwd backward, PERF.md "roofline closure"); the
-no-remat XLA program crashes the tunnel compile service.  This module
-reaches the no-remat data flow WITHOUT that program:
+The scan training path pays ~4 forward-equivalents per step (fwd + remat
+recompute + ~2x-fwd backward, PERF.md "roofline closure"); the no-remat XLA
+program crashes the tunnel compile service.  This module reaches the
+no-remat data flow WITHOUT that program:
 
-  * forward = the fused rollout kernel (ops/fused_rollout semantics) that
-    ALSO streams the per-iteration carry (h, c for both types, state at the
+  * forward = the fused rollout (ops/fused_rollout semantics) that ALSO
+    streams the per-iteration carry (h, c for both types, state at the
     START of every iteration) to HBM — O(tmax * states) traffic, the same
     residuals XLA's scan backward saves;
-  * backward = ONE Pallas kernel that walks t = tmax-1..0, reloads carry[t],
-    recomputes the iteration's internals in VMEM (MLP activations, gate
-    pre-activations, LN statistics — never materialised in HBM), and
-    back-propagates through LSTM + LayerNorm + aggregation + message MLPs,
-    accumulating weight gradients across grid steps in the output blocks.
+  * backward = ONE Pallas kernel that walks t = tmax-1..0, reloads
+    carry[t], recomputes the iteration's internals in VMEM (MLP
+    activations, gate pre-activations, LN statistics — never materialised
+    in HBM), and back-propagates through LSTM + per-gate LayerNorm +
+    incidence aggregation + message MLPs, accumulating weight gradients
+    across grid steps in the output blocks.
+
+KERNEL ARCHITECTURE (second iteration): both kernels run on a 2-D grid
+(problem-group, t) — the time loop is a sequential grid dimension, the
+recurrent carry lives in VMEM scratch (persists across grid steps), and
+the per-iteration trajectory block is selected by an affine index map
+(reversed for the backward).  The first iteration used a fori_loop over t
+with dynamic pl.ds slices into whole-trajectory VMEM blocks; that
+monolithic Mosaic program crashed the tunnel compile helper (HTTP 500,
+results/r4_perf.jsonl fusedbwd stage) exactly like the no-remat XLA
+programs.  The grid form keeps the Mosaic body one iteration small and
+the VMEM working set to 2x a single-t block.
 
 Gradient correctness is tested against jax.grad of the scan path
 (tests/test_fused_rollout.py::test_fused_bwd_grads_match_scan, interpret
@@ -37,18 +49,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tsp_gnn_tpu.config import ModelConfig
 from tsp_gnn_tpu.models import mlp
-from tsp_gnn_tpu.ops.fused_rollout import (TILE, _mlp, _sigmoid, _tanh,
+from tsp_gnn_tpu.ops.fused_rollout import (TILE, _lstm, _mlp, _tanh,
                                            pack_params)
 
 MLP_DEPTH = 3
 
 
-def _build_onehots(src_ref, tgt_ref, em_ref, v_pad, m_pad, group, dtype):
-    """Per-problem transposed one-hot incidence [v_pad, m_pad] (x group),
-    identical to the forward kernel's hoisted build."""
+def _write_onehots(oh_s, src_ref, tgt_ref, em_ref, v_pad, m_pad, group,
+                   dtype):
+    """Per-problem transposed one-hot incidence [v_pad, m_pad] into the
+    scratch ref (rows p*v_pad..), identical math to the forward kernel's
+    hoisted build."""
     rows = m_pad // TILE
     vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
-    ohs = []
     for p in range(group):
         tiles = []
         for r in range(rows):
@@ -56,8 +69,7 @@ def _build_onehots(src_ref, tgt_ref, em_ref, v_pad, m_pad, group, dtype):
             oh = ((vid == src_ref[idx:idx + 1, :]).astype(dtype)
                   + (vid == tgt_ref[idx:idx + 1, :]).astype(dtype))
             tiles.append(oh * em_ref[idx:idx + 1, :].astype(dtype))
-        ohs.append(jnp.concatenate(tiles, axis=1))
-    return ohs
+        oh_s[p * v_pad:(p + 1) * v_pad, :] = jnp.concatenate(tiles, axis=1)
 
 
 def _ln_fwd_stats(x, g_row, b_row, eps):
@@ -206,164 +218,171 @@ def _lstm_bwd(dh_next, dc_next, zin, h, c, k_ref, g_ref, b_ref, which,
 
 
 # ---------------------------------------------------------------------------
-# forward kernel with trajectory capture
+# forward kernel with trajectory capture — grid (problem-group, t)
 # ---------------------------------------------------------------------------
 
 def _traj_kernel(src_ref, tgt_ref, em_ref, emcol_ref, vm_ref, hv0_ref,
                  he0_ref, mw_ref, mb_ref, k_ref, g_ref, b_ref,
-                 hv_out, he_out, thv_out, tcv_out, the_out, tce_out, *,
+                 hv_out, he_out, thv_out, tcv_out, the_out, tce_out,
+                 hv_s, cv_s, he_s, ce_s, oh_s, *,
                  tmax, v_pad, m_pad, group, cell_act, forget_bias, eps):
-    """ops/fused_rollout._rollout_kernel + per-iteration carry capture:
-    slot t of the trajectory outputs holds the state at the START of
-    iteration t (slot 0 = the initial state)."""
+    """One message-passing iteration per grid step; carry in VMEM scratch.
+    The trajectory out-block for grid step (i, t) is slot t of group i and
+    receives the state at the START of iteration t."""
+    t = pl.program_id(1)
     act = {"relu": lambda x: jnp.maximum(x, 0), "tanh": _tanh}[cell_act]
     dtype = hv0_ref.dtype
+
+    @pl.when(t == 0)
+    def _init():
+        _write_onehots(oh_s, src_ref, tgt_ref, em_ref, v_pad, m_pad, group,
+                       dtype)
+        hv_s[:] = hv0_ref[:]
+        cv_s[:] = jnp.zeros_like(hv0_ref)
+        he_s[:] = he0_ref[:]
+        ce_s[:] = jnp.zeros_like(he0_ref)
+
+    h_v, c_v = hv_s[:], cv_s[:]
+    h_e, c_e = he_s[:], ce_s[:]
+    thv_out[:] = h_v
+    tcv_out[:] = c_v
+    the_out[:] = h_e
+    tce_out[:] = c_e
+
     vm = vm_ref[:].astype(dtype)
     em_col = emcol_ref[:].astype(dtype)
-    ohs = _build_onehots(src_ref, tgt_ref, em_ref, v_pad, m_pad, group,
-                         dtype)
-    gvp, gmp = group * v_pad, group * m_pad
+    msg_v = _mlp(h_v * vm, mw_ref, mb_ref, 0)
+    msg_e = _mlp(h_e * em_col, mw_ref, mb_ref, 1) * em_col
+    agg_e_parts, agg_v_parts = [], []
+    for p in range(group):
+        oh = oh_s[p * v_pad:(p + 1) * v_pad, :]
+        xw = msg_v[p * v_pad:(p + 1) * v_pad, :]
+        xe = msg_e[p * m_pad:(p + 1) * m_pad, :]
+        agg_e_parts.append(jax.lax.dot_general(
+            oh, xw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+        agg_v_parts.append(jax.lax.dot_general(
+            oh, xe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    agg_e = jnp.concatenate(agg_e_parts, axis=0)
+    agg_v = jnp.concatenate(agg_v_parts, axis=0)
+    h_v, c_v = _lstm(agg_v, h_v, c_v, k_ref, g_ref, b_ref, 0, act,
+                     forget_bias, eps)
+    h_e, c_e = _lstm(agg_e, h_e, c_e, k_ref, g_ref, b_ref, 1, act,
+                     forget_bias, eps)
+    hv_s[:] = h_v
+    cv_s[:] = c_v
+    he_s[:] = h_e
+    ce_s[:] = c_e
 
-    from tsp_gnn_tpu.ops.fused_rollout import _lstm
-
-    def body(t, carry):
-        h_v, c_v, h_e, c_e = carry
-        thv_out[pl.ds(t * gvp, gvp), :] = h_v
-        tcv_out[pl.ds(t * gvp, gvp), :] = c_v
-        the_out[pl.ds(t * gmp, gmp), :] = h_e
-        tce_out[pl.ds(t * gmp, gmp), :] = c_e
-        msg_v = _mlp(h_v * vm, mw_ref, mb_ref, 0)
-        msg_e = _mlp(h_e * em_col, mw_ref, mb_ref, 1) * em_col
-        agg_e_parts, agg_v_parts = [], []
-        for p in range(group):
-            xw = msg_v[p * v_pad:(p + 1) * v_pad, :]
-            xe = msg_e[p * m_pad:(p + 1) * m_pad, :]
-            agg_e_parts.append(jax.lax.dot_general(
-                ohs[p], xw, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(h_e.dtype))
-            agg_v_parts.append(jax.lax.dot_general(
-                ohs[p], xe, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(h_v.dtype))
-        agg_e = jnp.concatenate(agg_e_parts, axis=0)
-        agg_v = jnp.concatenate(agg_v_parts, axis=0)
-        h_v, c_v = _lstm(agg_v, h_v, c_v, k_ref, g_ref, b_ref, 0, act,
-                         forget_bias, eps)
-        h_e, c_e = _lstm(agg_e, h_e, c_e, k_ref, g_ref, b_ref, 1, act,
-                         forget_bias, eps)
-        return h_v, c_v, h_e, c_e
-
-    h_v0 = hv0_ref[:]
-    h_e0 = he0_ref[:]
-    init = (h_v0, jnp.zeros_like(h_v0), h_e0, jnp.zeros_like(h_e0))
-    h_v, c_v, h_e, c_e = jax.lax.fori_loop(0, tmax, body, init)
-    hv_out[:] = h_v
-    he_out[:] = h_e
+    @pl.when(t == tmax - 1)
+    def _final():
+        hv_out[:] = h_v
+        he_out[:] = h_e
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# backward kernel — grid (problem-group, k) with k = tmax-1-t via index maps
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(src_ref, tgt_ref, em_ref, emcol_ref, vm_ref,
                 thv_ref, tcv_ref, the_ref, tce_ref, dhe_ref,
                 mw_ref, mb_ref, k_ref, g_ref, b_ref,
                 dhv0_out, dhe0_out, dmw_out, dmb_out, dk_out, dg_out,
-                db_out, *,
+                db_out,
+                dhv_s, dcv_s, dhe_s, dce_s, oh_s, *,
                 tmax, v_pad, m_pad, group, cell_act, forget_bias, eps):
-    """Reverse sweep: t = tmax-1 .. 0, carry = (dh_v, dc_v, dh_e, dc_e).
-    Weight gradients accumulate in the (grid-constant) output blocks —
-    zeroed at grid step 0, summed across steps."""
+    """One reverse iteration per grid step.  The trajectory in-blocks are
+    index-mapped to slot tmax-1-k, so this body always sees the carry at
+    the start of the iteration it is differentiating.  Weight gradients
+    accumulate in the grid-constant output blocks."""
+    kgrid = pl.program_id(1)
     dtype = thv_ref.dtype
-    vm = vm_ref[:].astype(dtype)
-    em_col = emcol_ref[:].astype(dtype)
-    ohs = _build_onehots(src_ref, tgt_ref, em_ref, v_pad, m_pad, group,
-                         dtype)
-    gvp, gmp = group * v_pad, group * m_pad
 
-    @pl.when(pl.program_id(0) == 0)
-    def _zero():
+    @pl.when((pl.program_id(0) == 0) & (kgrid == 0))
+    def _zero_wgrads():
         dmw_out[:] = jnp.zeros_like(dmw_out)
         dmb_out[:] = jnp.zeros_like(dmb_out)
         dk_out[:] = jnp.zeros_like(dk_out)
         dg_out[:] = jnp.zeros_like(dg_out)
         db_out[:] = jnp.zeros_like(db_out)
 
-    def body(k, carry):
-        dh_v, dc_v, dh_e, dc_e = carry
-        t = tmax - 1 - k
-        h_v = thv_ref[pl.ds(t * gvp, gvp), :]
-        c_v = tcv_ref[pl.ds(t * gvp, gvp), :]
-        h_e = the_ref[pl.ds(t * gmp, gmp), :]
-        c_e = tce_ref[pl.ds(t * gmp, gmp), :]
+    @pl.when(kgrid == 0)
+    def _init():
+        _write_onehots(oh_s, src_ref, tgt_ref, em_ref, v_pad, m_pad, group,
+                       dtype)
+        dhv_s[:] = jnp.zeros_like(dhv_s)
+        dcv_s[:] = jnp.zeros_like(dcv_s)
+        dhe_s[:] = dhe_ref[:].astype(dtype)
+        dce_s[:] = jnp.zeros_like(dce_s)
 
-        # ---- recompute the iteration's internals (VMEM-resident) ----
-        acts_v, _msg_v = _mlp_acts(h_v * vm, mw_ref, mb_ref, 0)
-        acts_e, out_e = _mlp_acts(h_e * em_col, mw_ref, mb_ref, 1)
-        msg_e = out_e * em_col
-        agg_e_parts, agg_v_parts = [], []
-        for p in range(group):
-            xw = _msg_v[p * v_pad:(p + 1) * v_pad, :]
-            xe = msg_e[p * m_pad:(p + 1) * m_pad, :]
-            agg_e_parts.append(jax.lax.dot_general(
-                ohs[p], xw, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-            agg_v_parts.append(jax.lax.dot_general(
-                ohs[p], xe, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        agg_e = jnp.concatenate(agg_e_parts, axis=0)
-        agg_v = jnp.concatenate(agg_v_parts, axis=0)
+    vm = vm_ref[:].astype(dtype)
+    em_col = emcol_ref[:].astype(dtype)
+    h_v, c_v = thv_ref[:], tcv_ref[:]
+    h_e, c_e = the_ref[:], tce_ref[:]
+    dh_v, dc_v = dhv_s[:], dcv_s[:]
+    dh_e, dc_e = dhe_s[:], dce_s[:]
 
-        # ---- LSTM backward (both types) ----
-        d_agg_v, dh_v_l, dc_v_p = _lstm_bwd(
-            dh_v, dc_v, agg_v, h_v, c_v, k_ref, g_ref, b_ref, 0, cell_act,
-            forget_bias, eps, dk_out, dg_out, db_out)
-        d_agg_e, dh_e_l, dc_e_p = _lstm_bwd(
-            dh_e, dc_e, agg_e, h_e, c_e, k_ref, g_ref, b_ref, 1, cell_act,
-            forget_bias, eps, dk_out, dg_out, db_out)
+    # ---- recompute the iteration's internals (VMEM-resident) ----
+    acts_v, out_v = _mlp_acts(h_v * vm, mw_ref, mb_ref, 0)
+    acts_e, out_e = _mlp_acts(h_e * em_col, mw_ref, mb_ref, 1)
+    msg_e = out_e * em_col
+    agg_e_parts, agg_v_parts = [], []
+    for p in range(group):
+        oh = oh_s[p * v_pad:(p + 1) * v_pad, :]
+        xw = out_v[p * v_pad:(p + 1) * v_pad, :]
+        xe = msg_e[p * m_pad:(p + 1) * m_pad, :]
+        agg_e_parts.append(jax.lax.dot_general(
+            oh, xw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+        agg_v_parts.append(jax.lax.dot_general(
+            oh, xe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    agg_e = jnp.concatenate(agg_e_parts, axis=0)
+    agg_v = jnp.concatenate(agg_v_parts, axis=0)
 
-        # ---- aggregation backward ----
-        dmsg_v_parts, dmsg_e_parts = [], []
-        for p in range(group):
-            dae = d_agg_e[p * m_pad:(p + 1) * m_pad, :]
-            dav = d_agg_v[p * v_pad:(p + 1) * v_pad, :]
-            dmsg_v_parts.append(jax.lax.dot_general(
-                ohs[p], dae, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-            dmsg_e_parts.append(jax.lax.dot_general(
-                ohs[p], dav, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        d_msg_v = jnp.concatenate(dmsg_v_parts, axis=0)
-        d_msg_e = jnp.concatenate(dmsg_e_parts, axis=0)
+    # ---- LSTM backward (both types) ----
+    d_agg_v, dh_v_l, dc_v_p = _lstm_bwd(
+        dh_v, dc_v, agg_v, h_v, c_v, k_ref, g_ref, b_ref, 0, cell_act,
+        forget_bias, eps, dk_out, dg_out, db_out)
+    d_agg_e, dh_e_l, dc_e_p = _lstm_bwd(
+        dh_e, dc_e, agg_e, h_e, c_e, k_ref, g_ref, b_ref, 1, cell_act,
+        forget_bias, eps, dk_out, dg_out, db_out)
 
-        # ---- message MLP backward ----
-        d_x0v = _mlp_bwd(acts_v, d_msg_v, mw_ref, 0, dmw_out, dmb_out)
-        d_x0e = _mlp_bwd(acts_e, d_msg_e * em_col, mw_ref, 1, dmw_out,
-                         dmb_out)
+    # ---- aggregation backward ----
+    dmsg_v_parts, dmsg_e_parts = [], []
+    for p in range(group):
+        oh = oh_s[p * v_pad:(p + 1) * v_pad, :]
+        dae = d_agg_e[p * m_pad:(p + 1) * m_pad, :]
+        dav = d_agg_v[p * v_pad:(p + 1) * v_pad, :]
+        dmsg_v_parts.append(jax.lax.dot_general(
+            oh, dae, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+        dmsg_e_parts.append(jax.lax.dot_general(
+            oh, dav, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    d_msg_v = jnp.concatenate(dmsg_v_parts, axis=0)
+    d_msg_e = jnp.concatenate(dmsg_e_parts, axis=0)
 
-        dh_v_prev = dh_v_l + d_x0v * vm
-        dh_e_prev = dh_e_l + d_x0e * em_col
-        return dh_v_prev, dc_v_p, dh_e_prev, dc_e_p
+    # ---- message MLP backward ----
+    d_x0v = _mlp_bwd(acts_v, d_msg_v, mw_ref, 0, dmw_out, dmb_out)
+    d_x0e = _mlp_bwd(acts_e, d_msg_e * em_col, mw_ref, 1, dmw_out,
+                     dmb_out)
 
-    dhe_T = dhe_ref[:]
-    zeros_v = jnp.zeros((gvp, dhe_T.shape[-1]), dtype)
-    init = (zeros_v, zeros_v, dhe_T.astype(dtype),
-            jnp.zeros_like(dhe_T, dtype))
-    dh_v0, _, dh_e0, _ = jax.lax.fori_loop(0, tmax, body, init)
-    dhv0_out[:] = dh_v0
-    dhe0_out[:] = dh_e0
+    dhv_s[:] = dh_v_l + d_x0v * vm
+    dcv_s[:] = dc_v_p
+    dhe_s[:] = dh_e_l + d_x0e * em_col
+    dce_s[:] = dc_e_p
+
+    @pl.when(kgrid == tmax - 1)
+    def _final():
+        dhv0_out[:] = dhv_s[:]
+        dhe0_out[:] = dhe_s[:]
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom_vjp
 # ---------------------------------------------------------------------------
-
-def _vmem(shape):
-    return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-
-def _const(shape):
-    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
 
 def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
                        num_problems: int, group: int = 2,
@@ -371,23 +390,43 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
                        forget_bias: float = 1.0, ln_eps: float = 1e-12,
                        interpret=None):
     """Returns rollout(src2, tgt2, em2, edge_mask, vert_mask, h_v0, h_e0,
-    packed) -> (h_v_T, h_e_T), differentiable via the fused Pallas backward.
-
-    group defaults to 2 (not the forward-only kernel's 4): the trajectory
-    blocks are double-buffered by the Pallas pipeline, so VMEM holds 2x the
-    per-group trajectory (measured budget note in VERDICT r3 #1 work).
-    """
+    packed) -> (h_v_T, h_e_T), differentiable via the fused Pallas
+    backward."""
     from tsp_gnn_tpu.ops.spmm import resolve_interpret
     interpret = resolve_interpret(interpret)
     while num_problems % group:
         group //= 2
     rows = m_pad // TILE
-    grid = (num_problems // group,)
+    grid = (num_problems // group, tmax)
     gvp, gmp = group * v_pad, group * m_pad
     B = num_problems
     kw = dict(tmax=tmax, v_pad=v_pad, m_pad=m_pad, group=group,
               cell_act=cell_activation, forget_bias=forget_bias, eps=ln_eps)
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def by_i(shape):
+        return pl.BlockSpec(shape, lambda i, t: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def traj_fw(shape):
+        return pl.BlockSpec(shape, lambda i, t: (i * tmax + t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def traj_rev(shape):
+        return pl.BlockSpec(shape,
+                            lambda i, t: (i * tmax + (tmax - 1 - t), 0),
+                            memory_space=pltpu.VMEM)
+
+    def scratch(dt, d):
+        return [
+            pltpu.VMEM((gvp, d), dt), pltpu.VMEM((gvp, d), dt),
+            pltpu.VMEM((gmp, d), dt), pltpu.VMEM((gmp, d), dt),
+            pltpu.VMEM((gvp, m_pad), dt),
+        ]
 
     def fwd_traj(src2, tgt2, em2, em_col, vm, h_v0, h_e0, packed):
         d = h_v0.shape[-1]
@@ -397,27 +436,28 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
             grid=grid,
             compiler_params=cp,
             in_specs=[
-                _vmem((group * rows, TILE)), _vmem((group * rows, TILE)),
-                _vmem((group * rows, TILE)),
-                _vmem((gmp, 1)), _vmem((gvp, 1)),
-                _vmem((gvp, d)), _vmem((gmp, d)),
-                _const(packed["msg_w"].shape), _const(packed["msg_b"].shape),
-                _const(packed["lstm_k"].shape), _const(packed["ln_g"].shape),
-                _const(packed["ln_b"].shape),
+                by_i((group * rows, TILE)), by_i((group * rows, TILE)),
+                by_i((group * rows, TILE)),
+                by_i((gmp, 1)), by_i((gvp, 1)),
+                by_i((gvp, d)), by_i((gmp, d)),
+                const(packed["msg_w"].shape), const(packed["msg_b"].shape),
+                const(packed["lstm_k"].shape), const(packed["ln_g"].shape),
+                const(packed["ln_b"].shape),
             ],
             out_specs=(
-                _vmem((gvp, d)), _vmem((gmp, d)),
-                _vmem((tmax * gvp, d)), _vmem((tmax * gvp, d)),
-                _vmem((tmax * gmp, d)), _vmem((tmax * gmp, d)),
+                by_i((gvp, d)), by_i((gmp, d)),
+                traj_fw((gvp, d)), traj_fw((gvp, d)),
+                traj_fw((gmp, d)), traj_fw((gmp, d)),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((B * v_pad, d), dt),
                 jax.ShapeDtypeStruct((B * m_pad, d), dt),
-                jax.ShapeDtypeStruct((B // group * tmax * gvp, d), dt),
-                jax.ShapeDtypeStruct((B // group * tmax * gvp, d), dt),
-                jax.ShapeDtypeStruct((B // group * tmax * gmp, d), dt),
-                jax.ShapeDtypeStruct((B // group * tmax * gmp, d), dt),
+                jax.ShapeDtypeStruct((B * tmax * v_pad, d), dt),
+                jax.ShapeDtypeStruct((B * tmax * v_pad, d), dt),
+                jax.ShapeDtypeStruct((B * tmax * m_pad, d), dt),
+                jax.ShapeDtypeStruct((B * tmax * m_pad, d), dt),
             ),
+            scratch_shapes=scratch(dt, d),
             interpret=interpret,
         )(src2, tgt2, em2, em_col, vm, h_v0, h_e0,
           packed["msg_w"], packed["msg_b"], packed["lstm_k"],
@@ -428,26 +468,26 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
         d = dhe_T.shape[-1]
         dt = dhe_T.dtype
         f32 = jnp.float32
-        outs = pl.pallas_call(
+        return pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
             grid=grid,
             compiler_params=cp,
             in_specs=[
-                _vmem((group * rows, TILE)), _vmem((group * rows, TILE)),
-                _vmem((group * rows, TILE)),
-                _vmem((gmp, 1)), _vmem((gvp, 1)),
-                _vmem((tmax * gvp, d)), _vmem((tmax * gvp, d)),
-                _vmem((tmax * gmp, d)), _vmem((tmax * gmp, d)),
-                _vmem((gmp, d)),
-                _const(packed["msg_w"].shape), _const(packed["msg_b"].shape),
-                _const(packed["lstm_k"].shape), _const(packed["ln_g"].shape),
-                _const(packed["ln_b"].shape),
+                by_i((group * rows, TILE)), by_i((group * rows, TILE)),
+                by_i((group * rows, TILE)),
+                by_i((gmp, 1)), by_i((gvp, 1)),
+                traj_rev((gvp, d)), traj_rev((gvp, d)),
+                traj_rev((gmp, d)), traj_rev((gmp, d)),
+                by_i((gmp, d)),
+                const(packed["msg_w"].shape), const(packed["msg_b"].shape),
+                const(packed["lstm_k"].shape), const(packed["ln_g"].shape),
+                const(packed["ln_b"].shape),
             ],
             out_specs=(
-                _vmem((gvp, d)), _vmem((gmp, d)),
-                _const(packed["msg_w"].shape), _const(packed["msg_b"].shape),
-                _const(packed["lstm_k"].shape), _const(packed["ln_g"].shape),
-                _const(packed["ln_b"].shape),
+                by_i((gvp, d)), by_i((gmp, d)),
+                const(packed["msg_w"].shape), const(packed["msg_b"].shape),
+                const(packed["lstm_k"].shape), const(packed["ln_g"].shape),
+                const(packed["ln_b"].shape),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((B * v_pad, d), dt),
@@ -458,11 +498,11 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
                 jax.ShapeDtypeStruct(packed["ln_g"].shape, f32),
                 jax.ShapeDtypeStruct(packed["ln_b"].shape, f32),
             ),
+            scratch_shapes=scratch(dt, d),
             interpret=interpret,
         )(src2, tgt2, em2, em_col, vm, thv, tcv, the, tce, dhe_T,
           packed["msg_w"], packed["msg_b"], packed["lstm_k"],
           packed["ln_g"], packed["ln_b"])
-        return outs
 
     @jax.custom_vjp
     def rollout(src2, tgt2, em2, em_col, vm, h_v0, h_e0, packed):
@@ -478,9 +518,9 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
 
     def rollout_bwd(res, g):
         src2, tgt2, em2, em_col, vm, trajs, packed = res
-        dh_v_T, dh_e_T = g
-        # dh_v_T is structurally zero in this model (the readout consumes
-        # only h_e); assert the assumption statically where possible.
+        # the readout consumes only h_e, so the h_v cotangent is
+        # structurally zero in this model and is not propagated
+        _dh_v_T, dh_e_T = g
         dhv0, dhe0, dmw, dmb, dk, dg, db = bwd_call(
             src2, tgt2, em2, em_col, vm, trajs, dh_e_T, packed)
         dpacked = {
