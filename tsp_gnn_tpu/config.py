@@ -201,12 +201,30 @@ def _preset_multihost() -> Config:
     )
 
 
+def _preset_p200() -> Config:
+    """configs[4] workload on ONE chip, dense layout: the single-chip
+    training path for n in [100,200].
+
+    Measured (results/r4_perf.jsonl crossover): the dense einsum step is
+    3.1x faster than the sparse halo step at this shape on one chip
+    (233 vs 735 ms at batch 8), so single-chip p200 training runs dense;
+    the halo path (preset `multihost`, train_spmd) carries the same
+    params across chips — checkpoints are interchangeable.  Batch 8
+    instances (16 problems) fits HBM with the tmax=32 scan carry."""
+    return Config(
+        model=ModelConfig(tmax=32),
+        data=DataConfig(n_min=100, n_max=200, batch_size=8, pad_n=200),
+        train=TrainConfig(bf16=True, batches_per_epoch=64),
+    )
+
+
 PRESETS = {
     "pr1": _preset_pr1,
     "n40": _preset_n40,
     "size_gen": _preset_size_gen,
     "large_batch": _preset_large_batch,
     "multihost": _preset_multihost,
+    "p200": _preset_p200,
 }
 
 
