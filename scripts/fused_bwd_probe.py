@@ -43,15 +43,21 @@ def main():
     assert jax.devices()[0].platform != "cpu"
     base = get_config("n40")
     rng = np.random.default_rng(0)
+    only = os.environ.get("PROBE_CASES", "")
     cases = [
-        # (tag, tmax, n_insts, pad_n, group)
-        ("tiny_t4_i8_g2", 4, 8, 20, 2),
-        ("small_t8_i32_g2", 8, 32, 40, 2),
-        ("mid_t32_i32_g2", 32, 32, 40, 2),
-        ("flag_t32_i128_g1", 32, 128, 40, 1),
-        ("flag_t32_i128_g2", 32, 128, 40, 2),
+        # (tag, tmax, n_insts, pad_n, group, bf16, bwd_f32)
+        ("tiny_t4_i8_g2", 4, 8, 20, 2, False, False),
+        ("small_t8_i32_g2", 8, 32, 40, 2, False, False),
+        ("mid_t32_i32_g2", 32, 32, 40, 2, False, False),
+        ("flag_t32_i128_g1", 32, 128, 40, 1, False, False),
+        ("flag_t32_i128_g2", 32, 128, 40, 2, False, False),
+        ("small_bf16", 8, 32, 40, 2, True, False),
+        ("flag_bf16_g2", 32, 128, 40, 2, True, False),
+        ("flag_bf16_g2_bwdf32", 32, 128, 40, 2, True, True),
     ]
-    for tag, tmax, n_insts, pad_n, group in cases:
+    if only:
+        cases = [c for c in cases if c[0] in only.split(",")]
+    for tag, tmax, n_insts, pad_n, group, bf16, bwd_f32 in cases:
         cfg = dataclasses.replace(base.model, tmax=tmax)
         insts = [generator.generate_instance(
             rng, int(rng.integers(max(10, pad_n // 2), pad_n + 1)),
@@ -61,11 +67,19 @@ def main():
                  for k, v in tsp_sparse.block_batch_arrays(g).items()}
         params = tsp.tsp_init(jax.random.PRNGKey(0), cfg)
         labels = batch["labels"].astype(jnp.float32)
+        if bf16:
+            from tsp_gnn_tpu.train import _cast_bf16
+            batch = _cast_bf16(batch)
+            params_in = _cast_bf16(params)
+        else:
+            params_in = params
+        params = params_in
 
-        def logits_fn(p, cfg=cfg, g=g, batch=batch, group=group):
+        def logits_fn(p, cfg=cfg, g=g, batch=batch, group=group,
+                      bwd_f32=bwd_f32):
             return rollout_grad.forward_fused_train(
                 p, batch, cfg, v_pad=g.v_pad, m_pad=g.m_pad, group=group,
-                interpret=False)
+                bwd_f32=bwd_f32, interpret=False)
 
         # 1) forward(traj) alone
         try:

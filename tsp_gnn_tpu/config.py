@@ -121,6 +121,9 @@ class KernelConfig:
                                      # fused-backward path (trajectory
                                      # blocks are double-buffered: VMEM
                                      # holds 2x the per-group trajectory)
+    bwd_f32: bool = False            # run the fused backward kernel in f32
+                                     # even for bf16 training (Mosaic bf16
+                                     # lowering escape hatch)
     tile_e: int = 1024               # edge-tile size of the SpMM kernels
 
 

@@ -142,7 +142,10 @@ def _mlp_bwd(acts, d_out, w_ref, which, mw_out, mb_out, depth=MLP_DEPTH):
                                  preferred_element_type=jnp.float32
                                  ).astype(dy.dtype)
         if l > 0:
-            dx = dx * (x_l > 0).astype(dx.dtype)  # relu' of hidden layer
+            # relu' of the hidden layer via select, NOT (x>0).astype(bf16):
+            # bool->bf16 casts are in the family of Mosaic bf16 lowering
+            # bugs (cf. fused_rollout._sigmoid)
+            dx = jnp.where(x_l > 0, dx, jnp.zeros_like(dx))
         dy = dx
     return dy
 
@@ -388,10 +391,16 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
                        num_problems: int, group: int = 2,
                        cell_activation: str = "relu",
                        forget_bias: float = 1.0, ln_eps: float = 1e-12,
+                       bwd_f32: bool = False,
                        interpret=None):
     """Returns rollout(src2, tgt2, em2, edge_mask, vert_mask, h_v0, h_e0,
     packed) -> (h_v_T, h_e_T), differentiable via the fused Pallas
-    backward."""
+    backward.
+
+    bwd_f32: run the BACKWARD kernel in f32 even for bf16 training
+    (trajectories are cast on entry, cotangents cast back on exit) —
+    escape hatch for Mosaic bf16 lowering failures; 2x the backward's
+    VMEM/bandwidth, gradients slightly more accurate."""
     from tsp_gnn_tpu.ops.spmm import resolve_interpret
     interpret = resolve_interpret(interpret)
     while num_problems % group:
@@ -521,8 +530,18 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
         # the readout consumes only h_e, so the h_v cotangent is
         # structurally zero in this model and is not propagated
         _dh_v_T, dh_e_T = g
-        dhv0, dhe0, dmw, dmb, dk, dg, db = bwd_call(
-            src2, tgt2, em2, em_col, vm, trajs, dh_e_T, packed)
+        out_dt = dh_e_T.dtype
+        if bwd_f32 and dh_e_T.dtype == jnp.bfloat16:
+            f32 = jnp.float32
+            trajs = tuple(t.astype(f32) for t in trajs)
+            packed_in = {k: v.astype(f32) for k, v in packed.items()}
+            dhv0, dhe0, dmw, dmb, dk, dg, db = bwd_call(
+                src2, tgt2, em2, em_col.astype(f32), vm.astype(f32),
+                trajs, dh_e_T.astype(f32), packed_in)
+            dhv0, dhe0 = dhv0.astype(out_dt), dhe0.astype(out_dt)
+        else:
+            dhv0, dhe0, dmw, dmb, dk, dg, db = bwd_call(
+                src2, tgt2, em2, em_col, vm, trajs, dh_e_T, packed)
         dpacked = {
             "msg_w": dmw.astype(packed["msg_w"].dtype),
             "msg_b": dmb.astype(packed["msg_b"].dtype),
@@ -542,7 +561,7 @@ def make_rollout_train(*, tmax: int, v_pad: int, m_pad: int,
 
 def forward_fused_train(params: dict, batch: Dict[str, jnp.ndarray],
                         cfg: ModelConfig, *, v_pad: int, m_pad: int,
-                        tmax=None, group: int = 2,
+                        tmax=None, group: int = 2, bwd_f32: bool = False,
                         interpret=None) -> jnp.ndarray:
     """Differentiable fused forward: logits [B] whose backward runs the
     fused Pallas backward kernel (no scan recompute).  The surrounding
@@ -562,7 +581,7 @@ def forward_fused_train(params: dict, batch: Dict[str, jnp.ndarray],
     rollout = make_rollout_train(
         tmax=tmax, v_pad=v_pad, m_pad=m_pad, num_problems=B, group=group,
         cell_activation=cfg.cell_activation, forget_bias=cfg.forget_bias,
-        ln_eps=cfg.ln_eps, interpret=interpret)
+        ln_eps=cfg.ln_eps, bwd_f32=bwd_f32, interpret=interpret)
     _, h_e = rollout(batch["src2"], batch["tgt2"], batch["em2"], em,
                      batch["vert_mask"], h_v0, h_e0, packed)
     votes = mlp.mlp_apply(params["vote"], h_e) * em

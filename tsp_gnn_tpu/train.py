@@ -60,7 +60,7 @@ def _model_loss(params, batch, cfg: Config):
             from tsp_gnn_tpu.ops import rollout_grad
             logits = rollout_grad.forward_fused_train(
                 params, batch, cfg.model, v_pad=v_pad, m_pad=m_pad,
-                group=kc.bwd_tile).astype(jnp.float32)
+                group=kc.bwd_tile, bwd_f32=kc.bwd_f32).astype(jnp.float32)
         else:
             logits_fn = tsp_sparse.make_fused_logits(
                 cfg.model, v_pad=v_pad, m_pad=m_pad, group=kc.batch_tile)
