@@ -45,11 +45,15 @@ def dense_flops_per_step(B: int, n: int, m: int, d: int, tmax: int,
 
 
 def bucketed_bench(cfg, chunk: int, buckets_env: str):
-    """Size-bucketed flagship bench: instances from the preset distribution
-    are bucketized into batches (train.bucketize), chunks group same-shape
-    batches, and the timed loop dispatches the natural mixed sequence.
-    edges/s counts REAL edges only, so the gain over the single-pad path is
-    exactly the padding compute recovered."""
+    """Size-bucketed flagship bench (train.py --buckets workload).
+
+    One chunk per bucket is built with content-matched instances (n in the
+    bucket's range under the preset's n ~ U{n_min..n_max}) and timed
+    separately with pre-staged device batches; the reported number is the
+    steady-state mixed throughput sum(p_b * edges_b) / sum(p_b * time_b)
+    with p_b = the bucket's probability mass.  This equals the long-run
+    throughput of the bucketed stream while keeping generation cost at one
+    batch per bucket (raw per-bucket rows: results/bucket_sweep.jsonl)."""
     import jax
     import numpy as np
 
@@ -59,26 +63,11 @@ def bucketed_bench(cfg, chunk: int, buckets_env: str):
     from tsp_gnn_tpu.models import tsp
     from tsp_gnn_tpu.utils import profiling
 
-    buckets = tuple(int(x) for x in buckets_env.split(","))
-    iters = max(1, int(os.environ.get("BENCH_STEPS", "48")) // chunk)
+    buckets = tuple(sorted(int(x) for x in buckets_env.split(",")))
+    assert buckets[-1] >= cfg.data.n_max
+    reps = max(1, int(os.environ.get("BENCH_STEPS", "48"))
+               // chunk // len(buckets))
     rng = np.random.default_rng(1)
-
-    def gen():
-        while True:
-            yield generator.generate_instance(
-                rng, int(rng.integers(cfg.data.n_min, cfg.data.n_max + 1)),
-                "two_opt", restarts=1)
-
-    queues, chunks = {}, []
-    for pad, insts_b in tr.bucketize(gen(), cfg.data.batch_size, buckets):
-        b = make_dense_batch(insts_b, cfg.data.deviation, pad)
-        q = queues.setdefault(pad, [])
-        q.append(b)
-        if len(q) == chunk:
-            chunks.append({k: np.stack([bb[k] for bb in q]) for k in q[0]})
-            queues[pad] = []
-        if len(chunks) == iters:
-            break
 
     params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
     opt_state = tr.make_optimizer(cfg).init(params)
@@ -86,48 +75,60 @@ def bucketed_bench(cfg, chunk: int, buckets_env: str):
     def sync(p):
         np.asarray(jax.tree.leaves(p)[0])
 
-    # pre-stage every chunk on the device — the single-shape path stages its
-    # one chunk outside the loop too, and in production the prefetcher
-    # overlaps H2D with compute (a first measurement that kept device_put
-    # inside the loop over-charged ~25 ms/chunk of tunnel transfer)
-    dev_chunks = [tr.device_batch(c) for c in chunks]
-
-    # warmup = compile every distinct bucket shape once
-    t_warm = time.perf_counter()
-    for shape_chunk in {c["W"].shape: c for c in dev_chunks}.values():
-        params, opt_state, _ = tr.train_chunk(params, opt_state,
-                                              shape_chunk, cfg)
-        sync(params)
-    warmup_s = time.perf_counter() - t_warm
-    cache_hit = warmup_s < 120.0 * len(buckets)   # heuristic, as in main()
-
-    t0 = time.perf_counter()
-    for c in dev_chunks:
-        params, opt_state, _ = tr.train_chunk(params, opt_state, c, cfg)
-        sync(params)
-    dt = time.perf_counter() - t0
-
-    edge_updates = sum(int(c["n_edges"].sum()) for c in chunks) \
-        * cfg.model.tmax
-    eps = edge_updates / dt
-    flops = sum(dense_flops_per_step(
-        int(c["labels"].shape[1]), _pad_from_m(int(c["W"].shape[2])),
-        int(c["W"].shape[2]), cfg.model.d, cfg.model.tmax,
-        mlp_depth=cfg.model.mlp_depth, remat=cfg.model.remat) * chunk
-        for c in chunks)
-    achieved = flops / dt
     peak = (profiling.V5E_PEAK_BF16_FLOPS if cfg.train.bf16
             else profiling.V5E_PEAK_F32_FLOPS)
+    total_w = total_wt = total_we = total_wf = 0.0
+    warmup_s = 0.0
+    prev = cfg.data.n_min - 1
+    for pad in buckets:
+        lo = max(cfg.data.n_min, prev + 1)
+        hi = min(pad, cfg.data.n_max)
+        prev = pad
+        if hi < lo:
+            continue
+        w = hi - lo + 1          # bucket probability mass (uniform n)
+        insts = [generator.generate_instance(
+            rng, int(rng.integers(lo, hi + 1)), "two_opt", 1)
+            for _ in range(cfg.data.batch_size)]
+        batch = make_dense_batch(insts, cfg.data.deviation, pad)
+        stacked = tr.device_batch({k: np.stack([v] * chunk)
+                                   for k, v in batch.items()})
+        t0 = time.perf_counter()
+        params, opt_state, _ = tr.train_chunk(params, opt_state, stacked,
+                                              cfg)
+        sync(params)
+        warmup_s += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, _ = tr.train_chunk(params, opt_state,
+                                                  stacked, cfg)
+            sync(params)
+        dt = (time.perf_counter() - t0) / reps
+        edges = int(batch["n_edges"].sum()) * cfg.model.tmax * chunk
+        flops = dense_flops_per_step(
+            int(batch["labels"].shape[0]), pad, int(batch["W"].shape[1]),
+            cfg.model.d, cfg.model.tmax, mlp_depth=cfg.model.mlp_depth,
+            remat=cfg.model.remat) * chunk
+        total_w += w
+        total_wt += w * dt
+        total_we += w * edges
+        total_wf += w * flops
+        print(f"[bench bucket pad={pad} n={lo}-{hi}] "
+              f"{dt/chunk*1e3:.1f} ms/step | "
+              f"{edges/dt/1e6:.2f}M edge-updates/s", file=sys.stderr)
+
+    eps = total_we / total_wt
+    achieved = total_wf / total_wt
+    cache_hit = warmup_s < 120.0 * len(buckets)   # heuristic, as in main()
     if achieved > peak:
         print(json.dumps({"metric": "edges_per_s_per_chip", "value": None,
                           "unit": "edge-updates/s", "vs_baseline": None,
                           "error": f"IMPLAUSIBLE: {achieved/1e12:.1f} TFLOP/s"
                                    f" > peak {peak/1e12:.0f}"}))
         sys.exit(1)
-    n_steps = len(chunks) * chunk
-    print(f"[bench bucketed {buckets}] {eps/1e6:.2f}M edge-updates/s | "
-          f"{achieved/1e12:.2f} TFLOP/s ({100*achieved/peak:.1f}% of peak) | "
-          f"step {dt/n_steps*1e3:.1f} ms avg | warmup {warmup_s:.1f}s",
+    print(f"[bench bucketed {buckets}] {eps/1e6:.2f}M edge-updates/s "
+          f"(mixed steady state) | {achieved/1e12:.2f} TFLOP/s "
+          f"({100*achieved/peak:.1f}% of peak) | warmup {warmup_s:.1f}s",
           file=sys.stderr)
     print(json.dumps({"metric": "edges_per_s_per_chip", "value": eps,
                       "unit": "edge-updates/s",
