@@ -175,10 +175,15 @@ def main():
     # unroll-32 program, results/step_sweep_r3.jsonl)
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
 
-    # BENCH_BUCKETS="28,34,40": measure the size-bucketed batching path
-    # (train.py --buckets) — the true mixed-size throughput including each
-    # bucket's natural frequency under the preset's n ~ U{20..40}
+    # Size-bucketed batching is the n40 preset's production path (round 4:
+    # 47.9M vs 29.3M edge-updates/s, config.py _preset_n40) and therefore
+    # the default bench workload — the mixed-size steady-state throughput
+    # weights each bucket by its natural frequency under n ~ U{20..40}.
+    # BENCH_BUCKETS="28,34,40" overrides the bucket set; BENCH_BUCKETS=""
+    # (empty) forces the legacy single-pad unbucketed measurement.
     buckets_env = os.environ.get("BENCH_BUCKETS")
+    if buckets_env is None and cfg.data.bucket_pads:
+        buckets_env = ",".join(str(b) for b in cfg.data.bucket_pads)
     if buckets_env:
         return bucketed_bench(cfg, chunk, buckets_env)
     stacked = tr.device_batch({k: np.stack([v] * chunk)

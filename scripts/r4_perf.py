@@ -255,11 +255,26 @@ def fusedbwd(insts):
 def sol(insts):
     """Per-kernel fraction of speed-of-light [VERDICT r3 #2].
 
-    SOL model per kernel = max(compute, memory) time of an IDEAL kernel:
-    memory = minimal bytes it must move (inputs once + outputs once at the
-    HBM roofline), compute = minimal MXU flops of the algorithm.  The
-    incidence kernels are memory-bound at d=64 (gather/scatter-shaped);
-    fraction_of_sol = ideal_time / measured_time.
+    Each kernel is measured alone (K chained invocations inside ONE jit so
+    dispatch/tunnel latency amortizes away) and reported against THREE
+    yardsticks:
+
+      * sol_min  — ideal-kernel time: max(minimal HBM bytes / peak BW,
+        minimal flops / peak MXU).  The theoretical floor for ANY
+        implementation of the op (a gather/scatter at d=64 is memory-bound,
+        so this is essentially minimal-bytes / 819 GB/s).
+      * mxu_frac — achieved fraction of f32 MXU peak under the kernel's
+        ACTUAL algorithm (the one-hot-matmul formulation does M*v_pad*d
+        MACs, v_pad/1 more than a gather's M*d adds — the deliberate
+        flops-for-layout trade of ops/spmm.py).  The one-hot contraction
+        dim is v_pad=40 < 128 lanes, so ~31% is the shape's own ceiling.
+      * xla_ref   — the jnp gather/scatter reference (ops/spmm.py *_ref)
+        timed IDENTICALLY (same chain, same feedback term): the do-nothing
+        alternative the kernels must beat.
+
+    The chain feedback multiplies the carry by (1 + 1e-20*sum(out)) so no
+    implementation can dead-code the kernel; the extra full-output reduce
+    is paid equally by both implementations.
     """
     import jax
     import jax.numpy as jnp
@@ -274,62 +289,93 @@ def sol(insts):
              for k, v in tsp_sparse.block_batch_arrays(g).items()}
     src2, tgt2, em2 = batch["src2"], batch["tgt2"], batch["em2"]
     d = 64
-    N, M = B * g.v_pad, B * g.m_pad
+    v_pad = g.v_pad
+    N, M = B * v_pad, B * g.m_pad
     kw = dict(v_pad=g.v_pad, m_pad=g.m_pad)
     x_v = jax.random.normal(jax.random.PRNGKey(0), (N, d))
     x_e = jax.random.normal(jax.random.PRNGKey(1), (M, d))
     idx_bytes = M * 4 * 3          # src2 + tgt2 + em2 (int32/f32 lanes)
     f32 = 4
+    peak_f32 = profiling.V5E_PEAK_F32_FLOPS
 
     def chain(fn, x0):
         def body(x, _):
-            return fn(x), None
-        return jax.jit(lambda x: jax.lax.scan(body, x, None, length=K)[0])
+            y = fn(x)
+            return x * (1.0 + 1e-20 * jnp.sum(y)), None
+        # return a SCALAR of the final carry: hard_sync transfers the jit
+        # output over the axon tunnel (~10 MB/s), so returning the carry
+        # itself buries the kernel time under megabytes of host pullback
+        # (caught in the first round-4 sol run: pallas and jnp "tied" at
+        # exactly carry_bytes/tunnel_bw for every kernel)
+        return jax.jit(
+            lambda x: jnp.sum(jax.lax.scan(body, x, None, length=K)[0]))
 
-    del x_e
+    # (name, pallas_fn, ref_fn, carry, bytes_min, flops_min, flops_alg)
     cases = [
-        # aggregation ROUND-TRIP v_from_e(e_from_v(x)): shape-preserving, so
-        # it chains; ideal bytes = both kernels' minimal traffic (x_v and
-        # x_e each read+written once, indices read twice), ideal compute =
-        # M*d (gather-add) + 2*M*d (scatter-add)
-        ("agg_roundtrip",
-         lambda x: spmm.v_from_e(
-             src2, tgt2, em2, spmm.e_from_v(src2, tgt2, em2, x, **kw),
-             num_problems=B, **kw) * 0.25, x_v,
-         2 * (N + M) * d * f32 + 2 * idx_bytes, 3 * M * d),
-        # sddmm: reads x_v + indices, writes [M]; ideal = 2*M*d madds.
-        # The chain feeds a tiny function of the output back into x so the
-        # kernel cannot be DCE'd; the extra [N,d] add + [M] reduction is
-        # noise vs the kernel.
+        ("e_from_v",
+         lambda x: spmm.e_from_v(src2, tgt2, em2, x, **kw),
+         lambda x: spmm.e_from_v_ref(src2, tgt2, em2, x, **kw),
+         x_v,
+         (N * d + M * d) * f32 + idx_bytes,
+         2 * M * d,                       # gather-add two endpoints
+         2 * M * v_pad * d),              # one [tile_e,v_pad]x[v_pad,d] dot
+        ("v_from_e",
+         lambda x: spmm.v_from_e(src2, tgt2, em2, x, num_problems=B, **kw),
+         lambda x: spmm.v_from_e_ref(src2, tgt2, em2, x, num_problems=B,
+                                     **kw),
+         x_e,
+         (M * d + N * d) * f32 + idx_bytes,
+         2 * M * d,                       # scatter-add two endpoints
+         2 * M * v_pad * d),              # transposed one-hot dot
         ("sddmm",
-         lambda x: x + 1e-20 * jnp.sum(
-             spmm.sddmm(src2, tgt2, em2, x, **kw)), x_v,
-         (N * d + M) * f32 + idx_bytes, 2 * M * d * 2),
+         lambda x: spmm.sddmm(src2, tgt2, em2, x, **kw),
+         lambda x: spmm.sddmm_ref(src2, tgt2, em2, x, **kw),
+         x_v,
+         (N * d + M) * f32 + idx_bytes,
+         2 * M * d * 2,                   # two gathers + per-edge dot
+         4 * M * v_pad * d + 2 * M * d),  # two one-hot dots + reduce
     ]
-    for name, fn, x0, bytes_min, flops_min in cases:
-        f = chain(fn, x0)
-        dt, warm = timed(f, x0, reps=3)
-        per_call = dt / K
-        r = profiling.roofline(flops_min, bytes_min, per_call)
-        emit(stage="sol", kernel=name, us=per_call * 1e6,
-             warmup_s=round(warm, 1), **{k: (round(v, 4)
-                                             if isinstance(v, float) else v)
-                                         for k, v in r.items()})
-    # segment-sum: chain on the votes array
+    for name, fn, ref_fn, x0, bytes_min, flops_min, flops_alg in cases:
+        rows = {}
+        for impl, impl_fn in (("pallas", fn), ("xla_ref", ref_fn)):
+            f = chain(impl_fn, x0)
+            dt, warm = timed(f, x0, reps=3)
+            per_call = dt / K
+            r = profiling.roofline(flops_min, bytes_min, per_call)
+            rows[impl] = per_call
+            emit(stage="sol", kernel=name, impl=impl,
+                 us=round(per_call * 1e6, 1), warmup_s=round(warm, 1),
+                 gbps_min=round(bytes_min / per_call / 1e9, 1),
+                 sol_min_frac=round(r["fraction_of_sol"], 4),
+                 bound=r["bound"],
+                 tflops_alg=round(flops_alg / per_call / 1e12, 2),
+                 mxu_frac=round(flops_alg / per_call / peak_f32, 4))
+        emit(stage="sol", kernel=name,
+             speedup_vs_xla=round(rows["xla_ref"] / rows["pallas"], 2))
+    # segment-sum: memory-bound pure reduce, chain on the votes array
     votes2 = em2 * 2.0
-
-    def seg_fn(v):
-        out = spmm.segment_sum_per_problem(v, em2, m_pad=g.m_pad,
-                                           num_problems=B)
-        return v + 1e-9 * out[0, 0]
-    f = chain(seg_fn, votes2)
-    dt, warm = timed(f, votes2, reps=3)
-    per_call = dt / K
-    r = profiling.roofline(M, 2 * M * f32 + B * 2 * f32, per_call)
-    emit(stage="sol", kernel="segment_sum", us=per_call * 1e6,
-         warmup_s=round(warm, 1), **{k: (round(v, 4)
-                                         if isinstance(v, float) else v)
-                                     for k, v in r.items()})
+    seg_cases = [
+        ("pallas", lambda v: spmm.segment_sum_per_problem(
+            v, em2, m_pad=g.m_pad, num_problems=B)),
+        ("xla_ref", lambda v: spmm.segment_sum_ref(
+            v, em2, m_pad=g.m_pad, num_problems=B)),
+    ]
+    seg_rows = {}
+    for impl, seg in seg_cases:
+        def seg_fn(v, seg=seg):
+            return seg(v)
+        f = chain(seg_fn, votes2)
+        dt, warm = timed(f, votes2, reps=3)
+        per_call = dt / K
+        bytes_min = 2 * M * f32 + B * 2 * f32
+        r = profiling.roofline(3 * M, bytes_min, per_call)
+        seg_rows[impl] = per_call
+        emit(stage="sol", kernel="segment_sum", impl=impl,
+             us=round(per_call * 1e6, 1), warmup_s=round(warm, 1),
+             gbps_min=round(bytes_min / per_call / 1e9, 1),
+             sol_min_frac=round(r["fraction_of_sol"], 4), bound=r["bound"])
+    emit(stage="sol", kernel="segment_sum",
+         speedup_vs_xla=round(seg_rows["xla_ref"] / seg_rows["pallas"], 2))
 
 
 @guarded("crossover")

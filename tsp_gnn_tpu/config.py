@@ -157,10 +157,19 @@ def _preset_n40() -> Config:
     (results/eval_bf16_r3.jsonl) — above both the >80% contract and the
     round-2 f32 headline (0.8179) — and the bf16 step is never slower
     (PERF.md; forward is ~1.5x faster).  `--bf16` off is one flag away.
+
+    Batching: size-bucketed (round 4).  Padding every batch to n=40 wastes
+    (40/E[n])^2-ish compute on the preset's n ~ U{20..40}; four pad
+    buckets recover it — 47.9M vs 29.3M edge-updates/s mixed steady state
+    on hardware (PERF.md round 4, results/bucket_sweep.jsonl).  Logits are
+    pad-invariant (tests/test_oracle_allclose.py::test_pad_invariance) so
+    only batch COMPOSITION changes (same-size-range instances share a
+    batch, standard length-bucketing); `--buckets`/pad_n override.
     """
     return Config(
         model=ModelConfig(tmax=32, scan_unroll=32),
-        data=DataConfig(n_min=20, n_max=40, batch_size=128, pad_n=40),
+        data=DataConfig(n_min=20, n_max=40, batch_size=128, pad_n=40,
+                        bucket_pads=(24, 28, 34, 40)),
         train=TrainConfig(bf16=True),
     )
 

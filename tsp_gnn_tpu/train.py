@@ -472,6 +472,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=None,
                    help="Adam learning rate (default: preset value 2e-5)")
     p.add_argument("--tmax", type=int, default=None)
+    p.add_argument("--deviation", type=float, default=None,
+                   help="override the preset's cost deviation (lift-off "
+                        "recipe: train at a larger deviation first, then "
+                        "fine-tune down — see train_spmd --deviation)")
     p.add_argument("--data-path", default=None,
                    help="directory of npz shards / .graph files; "
                         "default: generate instances on the fly")
@@ -545,6 +549,9 @@ def main(argv=None):
                                                     accum=args.accum))
     if args.lr is not None:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, lr=args.lr))
+    if args.deviation is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   deviation=args.deviation))
     if args.tmax:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, tmax=args.tmax))
     if args.edge_gating:
