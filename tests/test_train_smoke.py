@@ -46,7 +46,7 @@ def test_checkpoint_resume(tmp_path):
     cfg = small_cfg()
     tr.train(cfg, epochs=2, seed=1, log_dir=str(tmp_path), eval_instances=8)
     latest = ckpt.latest_checkpoint(str(tmp_path / "checkpoints"))
-    assert latest and latest.endswith("ckpt_1.pkl")
+    assert latest and latest.endswith("ckpt_1.npz")
     # resume continues to epoch 3 without re-running 0..1
     out = tr.train(cfg, epochs=3, seed=1, log_dir=str(tmp_path),
                    eval_instances=8)
@@ -66,14 +66,14 @@ def test_checkpoint_pruning(tmp_path):
     cdir = tmp_path / "checkpoints"
     kept = sorted(os.listdir(cdir))
     assert len(kept) <= 3, kept           # 2 newest + possibly older best
-    assert "ckpt_3.pkl" in kept
+    assert "ckpt_3.npz" in kept
     best = ckpt.find_best_checkpoint(str(tmp_path))
     assert best is not None and os.path.exists(best)
     # resume two more epochs: pruning continues, best still present
     tr.train(cfg, epochs=6, seed=2, log_dir=str(tmp_path), eval_instances=8)
     kept = sorted(os.listdir(cdir))
     assert len(kept) <= 3, kept
-    assert "ckpt_5.pkl" in kept
+    assert "ckpt_5.npz" in kept
     best = ckpt.find_best_checkpoint(str(tmp_path))
     assert best is not None and os.path.exists(best)
 

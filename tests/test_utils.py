@@ -159,3 +159,98 @@ def test_launcher_auto_init_subprocess():
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     assert "LAUNCHER_OK" in r.stdout, r.stderr[-2000:]
+
+
+# ------------------------- checkpoint format v2 (round 4: no pickle saves)
+
+def test_checkpoint_npz_template_roundtrip(tmp_path):
+    """Template restore rebuilds optax NamedTuple states usable by update."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+    params = {"w": jnp.ones((4, 4)), "layers": [
+        {"k": jnp.arange(3.0)}, {"k": jnp.zeros(2)}]}
+    opt = optax.adam(1e-3)
+    opt_state = opt.update(jax.tree.map(jnp.ones_like, params),
+                           opt.init(params), params)[1]
+    state = {"params": params, "opt_state": opt_state, "epoch": 7,
+             "step": 900, "seed": 3,
+             "curriculum": {"cur_n_min": 20, "cur_n_max": 40,
+                            "cur_deviation": 0.02}}
+    path = str(tmp_path / "ckpt_7.npz")
+    ckpt.save_checkpoint(path, state)
+    # the file is a zip archive, not a pickle
+    assert open(path, "rb").read(2) == b"PK"
+    like = {"params": params, "opt_state": opt.init(params), "epoch": 0,
+            "step": 0, "seed": 0,
+            "curriculum": {"cur_n_min": 0, "cur_n_max": 0,
+                           "cur_deviation": 0.0}}
+    got = ckpt.load_checkpoint(path, like=like)
+    assert int(got["epoch"]) == 7 and int(got["step"]) == 900
+    # restored opt_state is structurally an optax state again
+    chex_tree = jax.tree.map(np.asarray, got["opt_state"])
+    assert type(chex_tree) is type(opt_state)
+    upd, _ = opt.update(jax.tree.map(jnp.ones_like, params),
+                        jax.tree.map(jnp.asarray, got["opt_state"]), params)
+    assert np.isfinite(np.asarray(jax.tree.leaves(upd)[0])).all()
+    # restored curriculum values survive
+    assert float(got["curriculum"]["cur_deviation"]) == 0.02
+
+
+def test_checkpoint_npz_generic_restore(tmp_path):
+    """Template-free restore (evaluate.py path) rebuilds dicts and lists."""
+    import jax.numpy as jnp
+    from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+    params = {"mlp": [{"W": jnp.ones((2, 2)), "b": jnp.zeros(2)},
+                      {"W": jnp.full((2, 2), 3.0), "b": jnp.ones(2)}],
+              "v_init": jnp.arange(4.0)}
+    path = str(tmp_path / "c.npz")
+    ckpt.save_checkpoint(path, {"params": params, "epoch": 1})
+    got = ckpt.load_checkpoint(path)
+    assert isinstance(got["params"], dict)
+    assert isinstance(got["params"]["mlp"], list) and len(
+        got["params"]["mlp"]) == 2
+    np.testing.assert_array_equal(got["params"]["mlp"][1]["W"],
+                                  np.full((2, 2), 3.0))
+    np.testing.assert_array_equal(got["params"]["v_init"], np.arange(4.0))
+
+
+def test_checkpoint_pickle_backcompat(tmp_path):
+    """Pre-round-4 pickle checkpoints still load (with or without like)."""
+    import pickle
+    from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+    state = {"params": {"w": np.ones(3)}, "epoch": 4}
+    path = str(tmp_path / "ckpt_4.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+    got = ckpt.load_checkpoint(path, like={"params": {"w": 0}, "epoch": 0})
+    assert got["epoch"] == 4
+    np.testing.assert_array_equal(got["params"]["w"], np.ones(3))
+
+
+def test_checkpoint_mixed_extensions(tmp_path):
+    """latest/prune see .pkl (old) and .npz (new) in one directory."""
+    from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+    for e, ext in ((0, "pkl"), (1, "pkl"), (2, "npz"), (3, "npz")):
+        (tmp_path / f"ckpt_{e}.{ext}").write_bytes(b"x")
+    latest = ckpt.latest_checkpoint(str(tmp_path))
+    assert latest.endswith("ckpt_3.npz")
+    removed = ckpt.prune_checkpoints(str(tmp_path), keep_last=2,
+                                     keep_epochs=(0,))
+    assert removed == 1                    # epoch 1 pruned, 0 kept, 2-3 kept
+    assert sorted(os.listdir(tmp_path)) == ["ckpt_0.pkl", "ckpt_2.npz",
+                                            "ckpt_3.npz"]
+
+
+def test_checkpoint_template_mismatch_raises(tmp_path):
+    from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+    path = str(tmp_path / "c.npz")
+    ckpt.save_checkpoint(path, {"a": np.ones(2)})
+    with pytest.raises(KeyError):
+        ckpt.load_checkpoint(path, like={"b": np.ones(2)})

@@ -172,6 +172,8 @@ def main(argv=None):
     state = ckpt.load_checkpoint(args.checkpoint)
     assert state is not None, f"no checkpoint at {args.checkpoint}"
     params = state["params"]
+    if not isinstance(params, dict):        # defensive: v2 generic restore
+        raise TypeError(f"unexpected params container {type(params)}")
 
     rows: List[Dict] = []
     if args.sweep in ("deviation", "all"):

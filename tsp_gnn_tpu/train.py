@@ -286,9 +286,16 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
 
     latest = ckpt.latest_checkpoint(ckpt_dir) if cfg.train.resume else None
     if latest:
-        state = ckpt.load_checkpoint(latest)
+        # template restore: .npz checkpoints carry leaves + key paths, not
+        # Python structure — the fresh (params, opt_state) trees above give
+        # the optax NamedTuple skeleton back (pickle files ignore `like`)
+        state = ckpt.load_checkpoint(latest, like={
+            "params": params, "opt_state": opt_state, "epoch": 0, "step": 0,
+            "seed": 0,
+            "curriculum": {"cur_n_min": 0, "cur_n_max": 0,
+                           "cur_deviation": 0.0}})
         params, opt_state = state["params"], state["opt_state"]
-        start_epoch, step = state["epoch"] + 1, state["step"]
+        start_epoch, step = int(state["epoch"]) + 1, int(state["step"])
         logger.log(event="resume", checkpoint=latest, epoch=start_epoch)
 
     cur = Curriculum(cfg, ramp_epochs=curriculum_ramp, dev_start=dev_start)
@@ -450,7 +457,7 @@ def train(cfg: Config, epochs: Optional[int] = None, seed: int = 0,
             if float(em["accuracy"]) >= best_eval_acc:
                 best_eval_acc, best_epoch = float(em["accuracy"]), epoch
             ckpt.save_checkpoint(
-                os.path.join(ckpt_dir, f"ckpt_{epoch}.pkl"),
+                os.path.join(ckpt_dir, f"ckpt_{epoch}.npz"),
                 {"params": params, "opt_state": opt_state, "epoch": epoch,
                  "step": step, "seed": seed,
                  "curriculum": cur.state(epoch)})

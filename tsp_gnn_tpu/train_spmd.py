@@ -106,10 +106,13 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                 os.path.basename(latest)[5:-4]):
             latest = os.path.join(ckpt_dir, newest)
     if cfg.train.resume and latest:
+        like = {"params": params, "opt_state": opt_state, "epoch": 0,
+                "step": 0, "seed": 0}
         state = (ckpt.load_checkpoint_orbax(latest)
-                 if latest.endswith(".orbax") else ckpt.load_checkpoint(latest))
+                 if latest.endswith(".orbax")
+                 else ckpt.load_checkpoint(latest, like=like))
         params, opt_state = state["params"], state["opt_state"]
-        start_epoch = state["epoch"] + 1
+        start_epoch = int(state["epoch"]) + 1
         logger.log(event="resume", checkpoint=latest, epoch=start_epoch)
 
     # fix m_pad so the graph axis divides it into legal kernel tiles
@@ -189,7 +192,7 @@ def train_spmd(cfg: Config, *, data_axis: int, graph_axis: int,
                 state)
         elif topo["process_index"] == 0:
             ckpt.save_checkpoint(
-                os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.pkl"),
+                os.path.join(log_dir, "checkpoints", f"ckpt_{epoch}.npz"),
                 state)
     logger.close()
     return {"params": params, "metrics": final}

@@ -2,38 +2,134 @@
 
 Parity target: the reference's util.py save_weights/load_weights
 (tf.train.Saver per epoch) [SURVEY §5 "Checkpoint"].  TPU-native build:
-orbax-backed save of (params, opt_state, step, data key, curriculum state);
-msgpack-free fallback via numpy .npz when orbax is unavailable.
+a safe self-describing .npz format for single-host checkpoints (round 4;
+pickle files from earlier rounds stay loadable, but new saves never use
+pickle — no arbitrary-code-execution on load [VERDICT r3 Weak #7]) and
+orbax for sharded multi-host saves.
+
+npz format (v2): one zip archive holding every pytree leaf as an array
+member `L00000…` plus a `__manifest__` JSON (stored as a unicode numpy
+array, loadable with allow_pickle=False) recording each leaf's key path.
+Restore modes:
+  * `like=` template (train resume): leaves are matched to the template's
+    flatten-with-path key paths BY PATH STRING and unflattened with the
+    template treedef — NamedTuple optax states come back as real optax
+    states, not dicts.
+  * no template (evaluate/figures: params-only consumers): the key paths
+    are replayed into nested dicts/lists; attribute nodes become dicts
+    keyed by attr name.
 """
 from __future__ import annotations
 
+import json
 import os
 import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
+from jax.tree_util import (DictKey, FlattenedIndexKey, GetAttrKey,
+                           SequenceKey)
 
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _key_part(k) -> Dict[str, Any]:
+    if isinstance(k, DictKey):
+        return {"k": k.key}
+    if isinstance(k, SequenceKey):
+        return {"i": k.idx}
+    if isinstance(k, GetAttrKey):
+        return {"a": k.name}
+    if isinstance(k, FlattenedIndexKey):
+        return {"f": k.key}
+    raise TypeError(f"unsupported pytree key {k!r}")
+
+
+def _path_json(path) -> str:
+    return json.dumps([_key_part(k) for k in path])
+
+
 def save_checkpoint(path: str, state: Dict[str, Any]) -> str:
     """state: arbitrary pytree dict (params, opt_state, step, rng, ...)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    arrays = {f"L{i:05d}": np.asarray(leaf) for i, (_, leaf) in
+              enumerate(flat)}
+    manifest = {"format": 2, "paths": [_path_json(p) for p, _ in flat]}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(_to_numpy(state), f, protocol=4)
+        np.savez(f, __manifest__=np.array(json.dumps(manifest)), **arrays)
     os.replace(tmp, path)
     return path
 
 
-def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
+def _rebuild_generic(paths, leaves):
+    """Replay key paths into nested dicts/lists (template-free restore)."""
+    root: Dict[str, Any] = {}
+    for path, leaf in zip(paths, leaves):
+        node = root
+        for j, part in enumerate(path):
+            key = (part.get("k") if "k" in part else
+                   part.get("a") if "a" in part else
+                   part.get("f") if "f" in part else part["i"])
+            last = j == len(path) - 1
+            if isinstance(node, list):
+                while len(node) <= key:
+                    node.append(None)
+                if last:
+                    node[key] = leaf
+                else:
+                    if node[key] is None:
+                        nxt = path[j + 1]
+                        node[key] = [] if "i" in nxt else {}
+                    node = node[key]
+            else:
+                if last:
+                    node[key] = leaf
+                else:
+                    if key not in node:
+                        nxt = path[j + 1]
+                        node[key] = [] if "i" in nxt else {}
+                    node = node[key]
+    return root
+
+
+def load_checkpoint(path: str,
+                    like: Optional[Any] = None) -> Optional[Dict[str, Any]]:
+    """Load a checkpoint (npz v2, or a pre-round-4 pickle file).
+
+    like: optional pytree template; npz leaves are matched to its key
+    paths and unflattened with its treedef (required to restore optax
+    NamedTuple states as real states).  Ignored for pickle files, which
+    carry their own structure.
+    """
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
-        return pickle.load(f)
+        magic = f.read(2)
+    if magic != b"PK":                      # pre-round-4 pickle checkpoint
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(str(z["__manifest__"]))
+        leaves = [z[f"L{i:05d}"] for i in range(len(manifest["paths"]))]
+    if like is None:
+        return _rebuild_generic([json.loads(p) for p in manifest["paths"]],
+                                leaves)
+    by_path = dict(zip(manifest["paths"], leaves))
+    tflat, tdef = jax.tree_util.tree_flatten_with_path(like)
+    ordered = []
+    for tpath, _ in tflat:
+        key = _path_json(tpath)
+        if key not in by_path:
+            raise KeyError(
+                f"checkpoint {path} has no leaf at {key}; the template's "
+                f"structure does not match the saved state")
+        ordered.append(by_path[key])
+    return jax.tree_util.tree_unflatten(tdef, ordered)
 
 
 def save_checkpoint_orbax(path: str, state: Dict[str, Any]) -> str:
@@ -56,16 +152,28 @@ def load_checkpoint_orbax(path: str, like: Optional[Dict[str, Any]] = None):
     return ckptr.restore(path, like) if like is not None else ckptr.restore(path)
 
 
+# round-4 saves are .npz; .pkl are pre-round-4 pickle checkpoints
+_EXTS = (".npz", ".pkl")
+
+
+def _is_ckpt(f: str, prefix: str) -> bool:
+    return f.startswith(prefix) and f.endswith(_EXTS)
+
+
+def _step(f: str, prefix: str) -> int:
+    return int(os.path.splitext(f)[0][len(prefix):])
+
+
 def find_best_checkpoint(log_dir: str, metric: str = "eval_acc",
                          prefix: str = "ckpt_") -> Optional[str]:
     """Pick the checkpoint of the best-`metric` epoch from metrics.jsonl
     (falls back to the latest when metrics are missing)."""
-    import json
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
     if not os.path.exists(metrics_path):
         return latest_checkpoint(ckpt_dir, prefix)
-    best_epoch, best_val = None, -float("inf")
+    best = None
+    best_val = -float("inf")
     with open(metrics_path) as f:
         for line in f:
             try:
@@ -73,24 +181,22 @@ def find_best_checkpoint(log_dir: str, metric: str = "eval_acc",
             except json.JSONDecodeError:
                 continue
             if row.get("event") == "epoch" and metric in row:
-                path = os.path.join(ckpt_dir,
-                                    f"{prefix}{int(row['epoch'])}.pkl")
-                if row[metric] >= best_val and os.path.exists(path):
-                    best_epoch, best_val = int(row["epoch"]), row[metric]
-    if best_epoch is None:
-        return latest_checkpoint(ckpt_dir, prefix)
-    return os.path.join(ckpt_dir, f"{prefix}{best_epoch}.pkl")
+                for ext in _EXTS:
+                    path = os.path.join(
+                        ckpt_dir, f"{prefix}{int(row['epoch'])}{ext}")
+                    if row[metric] >= best_val and os.path.exists(path):
+                        best, best_val = path, row[metric]
+                        break
+    return best if best is not None else latest_checkpoint(ckpt_dir, prefix)
 
 
 def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
     if not os.path.isdir(directory):
         return None
-    cands = [f for f in os.listdir(directory)
-             if f.startswith(prefix) and f.endswith(".pkl")]
+    cands = [f for f in os.listdir(directory) if _is_ckpt(f, prefix)]
     if not cands:
         return None
-    step = lambda f: int(f[len(prefix):-4])
-    return os.path.join(directory, max(cands, key=step))
+    return os.path.join(directory, max(cands, key=lambda f: _step(f, prefix)))
 
 
 def prune_checkpoints(directory: str, keep_last: int,
@@ -102,14 +208,13 @@ def prune_checkpoints(directory: str, keep_last: int,
     (the reference's Saver kept every epoch [SURVEY §5 Checkpoint])."""
     if keep_last <= 0 or not os.path.isdir(directory):
         return 0
-    step = lambda f: int(f[len(prefix):-4])
-    cands = sorted((f for f in os.listdir(directory)
-                    if f.startswith(prefix) and f.endswith(".pkl")), key=step)
+    cands = sorted((f for f in os.listdir(directory) if _is_ckpt(f, prefix)),
+                   key=lambda f: _step(f, prefix))
     keep = set(int(e) for e in keep_epochs)
-    keep.update(step(f) for f in cands[-keep_last:])
+    keep.update(_step(f, prefix) for f in cands[-keep_last:])
     removed = 0
     for f in cands:
-        if step(f) not in keep:
+        if _step(f, prefix) not in keep:
             os.unlink(os.path.join(directory, f))
             removed += 1
     return removed
