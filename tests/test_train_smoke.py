@@ -227,3 +227,32 @@ def test_bucketed_training_runs(tmp_path):
                    eval_instances=8, chunk=2)
     assert np.isfinite(out["metrics"]["train_loss"])
     assert os.path.exists(tmp_path / "metrics.jsonl")
+
+
+def test_n40_preset_buckets_cover_range():
+    """The flagship preset's default bucket set must tile its n range:
+    largest bucket >= n_max (bucketize asserts per instance) and every n
+    in [n_min, n_max] maps to some bucket with pad >= n."""
+    from tsp_gnn_tpu.config import get_config
+    cfg = get_config("n40")
+    pads = cfg.data.bucket_pads
+    assert pads == tuple(sorted(pads))
+    assert pads[-1] >= cfg.data.n_max
+    for n in range(cfg.data.n_min, cfg.data.n_max + 1):
+        assert any(p >= n for p in pads)
+
+
+def test_bucketize_preserves_instances():
+    """Every instance ends up in exactly one batch of its bucket (modulo
+    trailing incomplete batches), padded to the smallest sufficient pad."""
+    insts = [{"n": n} for n in (20, 37, 24, 25, 40, 33, 28, 34)]
+    out = list(tr.bucketize(iter(insts), 2, (24, 28, 34, 40)))
+    seen = []
+    for pad, chunk in out:
+        assert len(chunk) == 2
+        for inst in chunk:
+            assert inst["n"] <= pad
+            # smallest sufficient bucket
+            assert all(p < inst["n"] for p in (24, 28, 34, 40) if p < pad)
+            seen.append(inst["n"])
+    assert sorted(seen) == [20, 24, 25, 28, 33, 34, 37, 40]
