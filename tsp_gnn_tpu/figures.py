@@ -70,12 +70,70 @@ def make_figures(rows, out_dir: str):
     return written
 
 
+def make_training_curve(metrics_path: str, out_dir: str,
+                        title: str = "Training curve"):
+    """Loss/accuracy-vs-epoch figure from a run's metrics.jsonl, with
+    vertical markers where the curriculum deviation changes (the lift-off
+    recipe: train at a larger deviation, anneal down)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = [r for r in load_rows(metrics_path) if r.get("event") == "epoch"]
+    if not rows:
+        return []
+    rows.sort(key=lambda r: r["epoch"])
+    ep = [r["epoch"] for r in rows]
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(6, 5), sharex=True)
+    ax1.plot(ep, [r["train_loss"] for r in rows], label="train loss")
+    if "eval_loss" in rows[0]:
+        ax1.plot(ep, [r.get("eval_loss") for r in rows], label="eval loss")
+    ax1.axhline(0.6931, color="gray", lw=0.8, ls="--", label="ln 2 (chance)")
+    ax1.set_ylabel("loss")
+    ax1.legend(fontsize=8)
+    ax2.plot(ep, [r["train_acc"] for r in rows], label="train acc")
+    if "eval_acc" in rows[0]:
+        ax2.plot(ep, [r.get("eval_acc") for r in rows], label="eval acc")
+    ax2.axhline(0.5, color="gray", lw=0.8, ls="--")
+    ax2.set_ylabel("decision accuracy")
+    ax2.set_xlabel("epoch")
+    ax2.set_ylim(0.4, 1.02)
+    ax2.legend(fontsize=8)
+    # deviation-phase boundaries
+    prev = None
+    for r in rows:
+        dev = r.get("cur_deviation")
+        if dev is not None and dev != prev:
+            if prev is not None:
+                for ax in (ax1, ax2):
+                    ax.axvline(r["epoch"], color="tab:red", lw=0.8, ls=":")
+                ax2.text(r["epoch"], 0.42, f" dev={dev:g}", fontsize=7,
+                         color="tab:red")
+            prev = dev
+    ax1.set_title(title)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "training_curve.png")
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return [path]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Render sweep figures")
-    p.add_argument("sweeps", help="JSONL from tsp_gnn_tpu.evaluate --out")
+    p.add_argument("sweeps", help="JSONL from tsp_gnn_tpu.evaluate --out, "
+                                  "or a run's metrics.jsonl with "
+                                  "--training-curve")
     p.add_argument("--out-dir", default="figures")
+    p.add_argument("--training-curve", action="store_true",
+                   help="render loss/acc-vs-epoch from a metrics.jsonl "
+                        "(marks curriculum deviation changes)")
+    p.add_argument("--title", default="Training curve")
     args = p.parse_args(argv)
-    written = make_figures(load_rows(args.sweeps), args.out_dir)
+    if args.training_curve:
+        written = make_training_curve(args.sweeps, args.out_dir, args.title)
+    else:
+        written = make_figures(load_rows(args.sweeps), args.out_dir)
     for w in written:
         print(w)
 
