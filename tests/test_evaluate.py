@@ -95,3 +95,33 @@ def test_sparse_forward_in_size_tmax_sweeps(setup, sweep):
     assert sparse[0]["forward"] == "sparse"
     # same instances (same seed) -> identical accuracy across layouts
     assert abs(dense[0]["accuracy"] - sparse[0]["accuracy"]) < 1e-6
+
+
+def test_cli_on_npz_checkpoint(tmp_path):
+    """evaluate.main drives the v2 (.npz) checkpoint format end-to-end:
+    template-free restore must hand forward() a working params tree."""
+    from tsp_gnn_tpu.utils import checkpoint as ckpt
+
+    cfg = get_config("pr1")
+    params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+    path = str(tmp_path / "ckpt_0.npz")
+    ckpt.save_checkpoint(path, {"params": params, "epoch": 0})
+    out = str(tmp_path / "sweeps.jsonl")
+    evaluate.main(["--checkpoint", path, "--preset", "pr1",
+                   "--sweep", "deviation", "--instances", "4",
+                   "--out", out])
+    rows = [json.loads(l) for l in open(out) if l.strip()]
+    assert rows and all(0.0 <= r["accuracy"] <= 1.0 for r in rows)
+
+
+def test_training_curve_figure(tmp_path):
+    rows = [{"event": "epoch", "epoch": e, "train_loss": 0.7 - 0.01 * e,
+             "train_acc": 0.5 + 0.01 * e, "eval_loss": 0.7 - 0.01 * e,
+             "eval_acc": 0.5 + 0.01 * e,
+             "cur_deviation": 0.1 if e < 5 else 0.05}
+            for e in range(10)]
+    mpath = tmp_path / "metrics.jsonl"
+    mpath.write_text("\n".join(json.dumps(r) for r in rows))
+    written = figures.make_training_curve(str(mpath), str(tmp_path))
+    import os
+    assert written and os.path.exists(written[0])
