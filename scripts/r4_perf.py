@@ -124,6 +124,57 @@ def bench_base(insts):
          edges_per_s=edges / dt)
 
 
+@guarded("noremat")
+def noremat(insts):
+    """Probe: does a no-remat (or partial-unroll no-remat) dense train step
+    compile on today's tunnel era, and does it beat full remat?
+
+    The flagship accepts the 4-forward-equivalent remat ceiling because
+    remat=False FULL-UNROLL programs crash the remote compile helper
+    (verify notes).  A scan-form (unroll 4) no-remat program is a much
+    smaller Mosaic/XLA input — same trick that got the fused backward
+    through (rollout_grad.py header) — and its carry saves fit HBM easily
+    (32 iters x ~54 MB bf16 at b128).  Win condition: < 0.75x the matched
+    remat=True unroll-4 step."""
+    import dataclasses
+
+    import jax
+    from tsp_gnn_tpu import train as tr
+    from tsp_gnn_tpu.config import get_config
+    from tsp_gnn_tpu.data.loader import make_dense_batch
+    from tsp_gnn_tpu.models import tsp
+
+    base = get_config("n40")
+    chunk = 4
+    batch = make_dense_batch(insts, base.data.deviation, 40)
+    stacked = tr.device_batch({k: np.stack([v] * chunk)
+                               for k, v in batch.items()})
+    edges = int(batch["n_edges"].sum()) * base.model.tmax * chunk
+    for remat, unroll in ((True, 4), (False, 4), (False, 8)):
+        tag = f"remat{int(remat)}_unroll{unroll}"
+        cfg = base.replace(model=dataclasses.replace(
+            base.model, remat=remat, scan_unroll=unroll))
+        try:
+            params = tsp.tsp_init(jax.random.PRNGKey(0), cfg.model)
+            opt = tr.make_optimizer(cfg).init(params)
+            t0 = time.perf_counter()
+            params, opt, m = tr.train_chunk(params, opt, stacked, cfg)
+            hard_sync(params)
+            warm = time.perf_counter() - t0
+            reps = 4
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                params, opt, m = tr.train_chunk(params, opt, stacked, cfg)
+                hard_sync(params)
+            dt = (time.perf_counter() - t0) / reps
+            emit(stage="noremat", variant=tag, warmup_s=round(warm, 1),
+                 ms_per_step=dt / chunk * 1e3, edges_per_s=edges / dt,
+                 loss=float(m["loss"]))
+        except Exception as e:  # noqa: BLE001
+            emit(stage="noremat", variant=tag,
+                 error=f"{type(e).__name__}: {e}"[:300])
+
+
 @guarded("buckets")
 def buckets(insts):
     import jax
@@ -445,6 +496,7 @@ def main():
     probe()
     bench_base(insts)
     buckets(insts)
+    noremat(insts)
     fusedbwd(insts)
     sol(insts)
     crossover()
