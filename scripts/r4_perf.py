@@ -4,6 +4,8 @@ Stages (R4_STAGES env, comma-separated, default all):
   probe     — tiny matmul sanity + device print
   bench     — flagship dense step (chunk 16, cached program): era baseline
   buckets   — size-bucketed flagship (28,34,40): mixed-size throughput
+  noremat   — scan-form no-remat dense step vs matched remat (the remat
+              ceiling probe; win = < 0.75x the remat step)
   fusedbwd  — sparse b128: scan train step vs fused-Pallas-backward step
               [VERDICT r3 #1 measurement]
   sol       — per-kernel speed-of-light fractions (e_from_v / v_from_e /
