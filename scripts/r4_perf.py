@@ -372,6 +372,20 @@ def sol(insts):
          (N * d + M * d) * f32 + idx_bytes,
          2 * M * d,                       # gather-add two endpoints
          2 * M * v_pad * d),              # one [tile_e,v_pad]x[v_pad,d] dot
+        ("e_from_v_g8",
+         lambda x: spmm.e_from_v_grouped(src2, tgt2, em2, x, group=8,
+                                         num_problems=B, **kw),
+         lambda x: spmm.e_from_v_ref(src2, tgt2, em2, x, **kw),
+         x_v,
+         (N * d + M * d) * f32 + idx_bytes,
+         2 * M * d, 2 * M * v_pad * d),
+        ("e_from_v_g16",
+         lambda x: spmm.e_from_v_grouped(src2, tgt2, em2, x, group=16,
+                                         num_problems=B, **kw),
+         lambda x: spmm.e_from_v_ref(src2, tgt2, em2, x, **kw),
+         x_v,
+         (N * d + M * d) * f32 + idx_bytes,
+         2 * M * d, 2 * M * v_pad * d),
         ("v_from_e",
          lambda x: spmm.v_from_e(src2, tgt2, em2, x, num_problems=B, **kw),
          lambda x: spmm.v_from_e_ref(src2, tgt2, em2, x, num_problems=B,
@@ -380,6 +394,22 @@ def sol(insts):
          (M * d + N * d) * f32 + idx_bytes,
          2 * M * d,                       # scatter-add two endpoints
          2 * M * v_pad * d),              # transposed one-hot dot
+        ("v_from_e_g8",
+         lambda x: spmm.v_from_e_grouped(src2, tgt2, em2, x, group=8,
+                                         num_problems=B, **kw),
+         lambda x: spmm.v_from_e_ref(src2, tgt2, em2, x, num_problems=B,
+                                     **kw),
+         x_e,
+         (M * d + N * d) * f32 + idx_bytes,
+         2 * M * d, 2 * M * v_pad * d),
+        ("v_from_e_g16",
+         lambda x: spmm.v_from_e_grouped(src2, tgt2, em2, x, group=16,
+                                         num_problems=B, **kw),
+         lambda x: spmm.v_from_e_ref(src2, tgt2, em2, x, num_problems=B,
+                                     **kw),
+         x_e,
+         (M * d + N * d) * f32 + idx_bytes,
+         2 * M * d, 2 * M * v_pad * d),
         ("sddmm",
          lambda x: spmm.sddmm(src2, tgt2, em2, x, **kw),
          lambda x: spmm.sddmm_ref(src2, tgt2, em2, x, **kw),
@@ -391,8 +421,13 @@ def sol(insts):
     for name, fn, ref_fn, x0, bytes_min, flops_min, flops_alg in cases:
         rows = {}
         for impl, impl_fn in (("pallas", fn), ("xla_ref", ref_fn)):
-            f = chain(impl_fn, x0)
-            dt, warm = timed(f, x0, reps=3)
+            try:
+                f = chain(impl_fn, x0)
+                dt, warm = timed(f, x0, reps=3)
+            except Exception as e:  # noqa: BLE001 — per-case isolation
+                emit(stage="sol", kernel=name, impl=impl,
+                     error=f"{type(e).__name__}: {e}"[:300])
+                continue
             per_call = dt / K
             r = profiling.roofline(flops_min, bytes_min, per_call)
             rows[impl] = per_call
@@ -403,8 +438,9 @@ def sol(insts):
                  bound=r["bound"],
                  tflops_alg=round(flops_alg / per_call / 1e12, 2),
                  mxu_frac=round(flops_alg / per_call / peak_f32, 4))
-        emit(stage="sol", kernel=name,
-             speedup_vs_xla=round(rows["xla_ref"] / rows["pallas"], 2))
+        if len(rows) == 2:
+            emit(stage="sol", kernel=name,
+                 speedup_vs_xla=round(rows["xla_ref"] / rows["pallas"], 2))
     # segment-sum: memory-bound pure reduce, chain on the votes array
     votes2 = em2 * 2.0
     seg_cases = [

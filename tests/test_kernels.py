@@ -119,3 +119,52 @@ def test_incidence_degree_property(g):
         n = g.n_vertices[p]
         np.testing.assert_allclose(deg[p, :n], n - 1)
         np.testing.assert_allclose(deg[p, n:], 0)
+
+
+@pytest.mark.parametrize("group", [1, 2, 3, 8])
+def test_e_from_v_grouped_matches_ref(g, group):
+    """Grouped-problem gather kernel == reference for divisor and
+    non-divisor group sizes (non-divisors clamp down; 8 > B clamps to a
+    divisor of B=6 -> 2)."""
+    B = g.num_problems
+    d = 64
+    x_v = jax.random.normal(jax.random.PRNGKey(0), (B * g.v_pad, d))
+    src2, tgt2, em2 = _lanes(g)
+    kw = dict(v_pad=g.v_pad, m_pad=g.m_pad, num_problems=B)
+    got = spmm.e_from_v_grouped(src2, tgt2, em2, x_v, group=group,
+                                interpret=True, **kw)
+    want = spmm.e_from_v_ref(src2, tgt2, em2, x_v, v_pad=g.v_pad,
+                             m_pad=g.m_pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("group", [1, 2, 3, 8])
+def test_v_from_e_grouped_matches_ref(g, group):
+    B = g.num_problems
+    d = 64
+    x_e = jax.random.normal(jax.random.PRNGKey(1), (B * g.m_pad, d))
+    src2, tgt2, em2 = _lanes(g)
+    kw = dict(v_pad=g.v_pad, m_pad=g.m_pad, num_problems=B)
+    got = spmm.v_from_e_grouped(src2, tgt2, em2, x_e, group=group,
+                                interpret=True, **kw)
+    want = spmm.v_from_e_ref(src2, tgt2, em2, x_e, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_bf16(g):
+    """bf16 inputs round-trip through the grouped kernels (f32 accumulate)."""
+    B = g.num_problems
+    d = 64
+    x_v = jax.random.normal(jax.random.PRNGKey(2),
+                            (B * g.v_pad, d)).astype(jnp.bfloat16)
+    src2, tgt2, em2 = _lanes(g)
+    kw = dict(v_pad=g.v_pad, m_pad=g.m_pad, num_problems=B)
+    got = spmm.e_from_v_grouped(src2, tgt2, em2, x_v, group=2,
+                                interpret=True, **kw)
+    want = spmm.e_from_v_ref(src2, tgt2, em2, x_v.astype(jnp.float32),
+                             v_pad=g.v_pad, m_pad=g.m_pad)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)

@@ -119,3 +119,32 @@ def test_edge_gating_changes_output():
     base = tsp.forward(params, dense, cfg)
     gated = tsp.forward(gparams, dense, gcfg)
     assert not np.allclose(np.asarray(base), np.asarray(gated))
+
+
+@pytest.mark.parametrize("agg_group", [2, 3])
+def test_grouped_agg_matches_dense(agg_group):
+    """Forward + grads through the grouped-problem SpMM kernels
+    (spmm.*_grouped via agg_group > 1) match the dense path — covers the
+    custom-VJP pair with the grouped backend."""
+    cfg, params, dense, sparse, g = _setup(tmax=5)
+
+    def dense_loss(p):
+        return tsp.loss_fn(p, dense, cfg)[0]
+
+    def grouped_loss(p):
+        return tsp_sparse.loss_fn_sparse(
+            p, sparse, cfg, v_pad=g.v_pad, m_pad=g.m_pad,
+            use_pallas=True, interpret=True, agg_group=agg_group)[0]
+
+    l_dense = tsp.forward(params, dense, cfg)
+    l_grouped = tsp_sparse.forward_sparse(
+        params, sparse, cfg, v_pad=g.v_pad, m_pad=g.m_pad,
+        use_pallas=True, interpret=True, agg_group=agg_group)
+    np.testing.assert_allclose(np.asarray(l_dense), np.asarray(l_grouped),
+                               rtol=5e-4, atol=5e-5)
+    gd = jax.grad(dense_loss)(params)
+    gs = jax.grad(grouped_loss)(params)
+    flat_d, _ = jax.flatten_util.ravel_pytree(gd)
+    flat_s, _ = jax.flatten_util.ravel_pytree(gs)
+    np.testing.assert_allclose(np.asarray(flat_s), np.asarray(flat_d),
+                               rtol=2e-3, atol=1e-5)

@@ -125,6 +125,12 @@ class KernelConfig:
                                      # even for bf16 training (Mosaic bf16
                                      # lowering escape hatch)
     tile_e: int = 1024               # edge-tile size of the SpMM kernels
+    agg_group: int = 1               # >1: grouped-problem SpMM kernels
+                                     # (spmm.*_grouped) — `agg_group` whole
+                                     # problems per grid step; default 1 =
+                                     # the hardware-validated per-problem
+                                     # kernels until the grouped variants
+                                     # are measured on a TPU window
 
 
 @dataclass(frozen=True)

@@ -30,13 +30,23 @@ from tsp_gnn_tpu.ops.layout import UniformBlockGraph
 
 def make_incidence_ops(v_pad: int, m_pad: int, num_problems: int,
                        use_pallas: bool = True, tile_e: int = 1024,
-                       interpret=None):
+                       interpret=None, agg_group: int = 1):
     """Returns (e_from_v, v_from_e) closures with custom VJPs.
 
     d/dx_v [ (S+T) @ x_v ] . g  =  (S+T)^T @ g   — i.e. the other kernel.
+    agg_group > 1 selects the grouped-problem kernels (spmm.*_grouped:
+    `agg_group` whole problems per grid step — fewer pipeline bubbles,
+    no output revisits in the scatter direction).
     """
     kw = dict(v_pad=v_pad, m_pad=m_pad)
-    if use_pallas:
+    if use_pallas and agg_group > 1:
+        _efv = functools.partial(spmm.e_from_v_grouped, group=agg_group,
+                                 interpret=interpret,
+                                 num_problems=num_problems, **kw)
+        _vfe = functools.partial(spmm.v_from_e_grouped, group=agg_group,
+                                 interpret=interpret,
+                                 num_problems=num_problems, **kw)
+    elif use_pallas:
         _efv = functools.partial(spmm.e_from_v, tile_e=tile_e,
                                  interpret=interpret, **kw)
         _vfe = functools.partial(spmm.v_from_e, tile_e=tile_e,
@@ -218,6 +228,7 @@ def forward_sparse(
     tile_e: int = 1024,
     interpret=None,
     return_trajectory: bool = False,
+    agg_group: int = 1,
 ):
     """Sparse-path forward -> per-problem logits [B].
 
@@ -230,7 +241,7 @@ def forward_sparse(
     em, vm = batch["edge_mask"], batch["vert_mask"]
     e_from_v, v_from_e = make_incidence_ops(
         v_pad, m_pad, B, use_pallas=use_pallas, tile_e=tile_e,
-        interpret=interpret)
+        interpret=interpret, agg_group=agg_group)
 
     d = params["v_init"].shape[0]
     N, M = B * v_pad, B * m_pad
@@ -314,10 +325,12 @@ def make_fused_logits(cfg: ModelConfig, *, v_pad: int, m_pad: int,
 def loss_fn_sparse(params, batch, cfg: ModelConfig, *, v_pad: int,
                    m_pad: int, tmax: Optional[int] = None,
                    use_pallas: bool = True, tile_e: int = 1024,
-                   interpret=None) -> Tuple[jnp.ndarray, Dict]:
+                   interpret=None,
+                   agg_group: int = 1) -> Tuple[jnp.ndarray, Dict]:
     logits = forward_sparse(params, batch, cfg, v_pad=v_pad, m_pad=m_pad,
                             tmax=tmax, use_pallas=use_pallas, tile_e=tile_e,
-                            interpret=interpret).astype(jnp.float32)
+                            interpret=interpret,
+                            agg_group=agg_group).astype(jnp.float32)
     labels = batch["labels"].astype(logits.dtype)
     loss = jnp.mean(jnp.maximum(logits, 0) - logits * labels
                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))

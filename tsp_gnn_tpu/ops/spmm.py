@@ -167,6 +167,104 @@ def v_from_e(src2, tgt2, em2, x_e, *, v_pad: int, m_pad: int,
     )(src2, tgt2, em2, x_e)
 
 
+# ----------------------------------------------- grouped-problem variants
+#
+# The single-problem kernels above pay one grid step per (problem, edge
+# tile): at flagship shapes that is 256 tiny steps whose pipeline bubbles
+# dominate (528 us measured vs ~150 us of ideal traffic+MXU, PERF.md
+# round-4 SOL table).  The grouped variants put `group` WHOLE problems in
+# one grid step — per-problem dots keep the MXU flops identical (a fused
+# block-diagonal one-hot would multiply MACs by `group`), but grid steps
+# shrink by `group` and every DMA stream grows by `group`.  v_from_e also
+# loses its output-revisit accumulation: each problem's vertex window is
+# written exactly once, no read-modify-write across grid steps.
+
+
+def _oh_t_prob(src_ref, tgt_ref, em_ref, p, rpp, v_pad, dtype):
+    """Transposed one-hot [v_pad, m_pad] of problem p (rows p*rpp..)."""
+    return jnp.concatenate(
+        [_oh_t(src_ref[p * rpp + r, :], tgt_ref[p * rpp + r, :],
+               em_ref[p * rpp + r, :], v_pad, dtype)
+         for r in range(rpp)], axis=1)
+
+
+def _e_from_v_g_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
+                       v_pad, m_pad, rpp, group):
+    x = xv_ref[:]
+    for p in range(group):
+        oh = _oh_t_prob(src_ref, tgt_ref, em_ref, p, rpp, v_pad, x.dtype)
+        out = jax.lax.dot_general(
+            oh, x[p * v_pad:(p + 1) * v_pad, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [m_pad, d]
+        out_ref[p * m_pad:(p + 1) * m_pad, :] = out.astype(out_ref.dtype)
+
+
+def e_from_v_grouped(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
+                     num_problems: int, group: int = 8, interpret=None):
+    """Grouped e_from_v: grid step = `group` whole problems.
+
+    Same contract as e_from_v; requires m_pad % 128 == 0.  `group` is
+    clamped to a divisor of num_problems."""
+    d = x_v.shape[-1]
+    interpret = resolve_interpret(interpret)
+    assert m_pad % TILE == 0, m_pad
+    while num_problems % group:
+        group //= 2
+    rpp = m_pad // TILE
+    grid = (num_problems // group,)
+    idx_spec = pl.BlockSpec((group * rpp, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_e_from_v_g_kernel, v_pad=v_pad, m_pad=m_pad,
+                          rpp=rpp, group=group),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec,
+                  pl.BlockSpec((group * v_pad, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group * m_pad, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_problems * m_pad, d), x_v.dtype),
+        interpret=interpret,
+    )(src2, tgt2, em2, x_v)
+
+
+def _v_from_e_g_kernel(src_ref, tgt_ref, em_ref, xe_ref, out_ref, *,
+                       v_pad, m_pad, rpp, group):
+    x = xe_ref[:]
+    for p in range(group):
+        oh = _oh_t_prob(src_ref, tgt_ref, em_ref, p, rpp, v_pad, x.dtype)
+        acc = jax.lax.dot_general(
+            oh, x[p * m_pad:(p + 1) * m_pad, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [v_pad, d]
+        out_ref[p * v_pad:(p + 1) * v_pad, :] = acc.astype(out_ref.dtype)
+
+
+def v_from_e_grouped(src2, tgt2, em2, x_e, *, v_pad: int, m_pad: int,
+                     num_problems: int, group: int = 8, interpret=None):
+    """Grouped v_from_e: one write per vertex window, no revisits."""
+    d = x_e.shape[-1]
+    interpret = resolve_interpret(interpret)
+    assert m_pad % TILE == 0, m_pad
+    while num_problems % group:
+        group //= 2
+    rpp = m_pad // TILE
+    grid = (num_problems // group,)
+    idx_spec = pl.BlockSpec((group * rpp, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_v_from_e_g_kernel, v_pad=v_pad, m_pad=m_pad,
+                          rpp=rpp, group=group),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec,
+                  pl.BlockSpec((group * m_pad, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group * v_pad, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_problems * v_pad, d), x_e.dtype),
+        interpret=interpret,
+    )(src2, tgt2, em2, x_e)
+
+
 # ------------------------------------------------------------------- sddmm
 
 def _sddmm_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,

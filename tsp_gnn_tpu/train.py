@@ -73,7 +73,8 @@ def _model_loss(params, batch, cfg: Config):
         return loss, {"loss": loss, "accuracy": acc, "logits": logits}
     return tsp_sparse.loss_fn_sparse(
         params, batch, cfg.model, v_pad=v_pad, m_pad=m_pad,
-        use_pallas=kc.use_pallas, tile_e=kc.tile_e)
+        use_pallas=kc.use_pallas, tile_e=kc.tile_e,
+        agg_group=kc.agg_group)
 
 
 def _loss_and_grads(params, batch, cfg: Config):
