@@ -417,6 +417,14 @@ def sol(insts):
          (N * d + M) * f32 + idx_bytes,
          2 * M * d * 2,                   # two gathers + per-edge dot
          4 * M * v_pad * d + 2 * M * d),  # two one-hot dots + reduce
+        ("sddmm_g8",
+         lambda x: spmm.sddmm_grouped(src2, tgt2, em2, x, group=8,
+                                      num_problems=B, **kw),
+         lambda x: spmm.sddmm_ref(src2, tgt2, em2, x, **kw),
+         x_v,
+         (N * d + M) * f32 + idx_bytes,
+         2 * M * d * 2,
+         4 * M * v_pad * d + 2 * M * d),
     ]
     for name, fn, ref_fn, x0, bytes_min, flops_min, flops_alg in cases:
         rows = {}

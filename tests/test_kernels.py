@@ -168,3 +168,18 @@ def test_grouped_bf16(g):
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("group", [2, 3])
+def test_sddmm_grouped_matches_ref(g, group):
+    B = g.num_problems
+    d = 64
+    x_v = jax.random.normal(jax.random.PRNGKey(3), (B * g.v_pad, d))
+    src2, tgt2, em2 = _lanes(g)
+    got = spmm.sddmm_grouped(src2, tgt2, em2, x_v, v_pad=g.v_pad,
+                             m_pad=g.m_pad, num_problems=B, group=group,
+                             interpret=True)
+    want = spmm.sddmm_ref(src2, tgt2, em2, x_v, v_pad=g.v_pad,
+                          m_pad=g.m_pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -265,6 +265,55 @@ def v_from_e_grouped(src2, tgt2, em2, x_e, *, v_pad: int, m_pad: int,
     )(src2, tgt2, em2, x_e)
 
 
+def _sddmm_g_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
+                    v_pad, rpp, group):
+    x = xv_ref[:]
+    dn = (((0,), (0,)), ((), ()))
+    vid = jax.lax.broadcasted_iota(jnp.int32, (v_pad, TILE), 0)
+    for p in range(group):
+        x_p = x[p * v_pad:(p + 1) * v_pad, :]
+        oh_s = jnp.concatenate(
+            [(vid == src_ref[p * rpp + r, :][None, :]).astype(x.dtype)
+             for r in range(rpp)], axis=1)                # [v_pad, m_pad]
+        oh_t = jnp.concatenate(
+            [(vid == tgt_ref[p * rpp + r, :][None, :]).astype(x.dtype)
+             for r in range(rpp)], axis=1)
+        a = jax.lax.dot_general(oh_s, x_p, dn,
+                                preferred_element_type=jnp.float32)
+        b = jax.lax.dot_general(oh_t, x_p, dn,
+                                preferred_element_type=jnp.float32)
+        prod = a * b                                      # [m_pad, d]
+        for r in range(rpp):
+            dot = jnp.sum(prod[r * TILE:(r + 1) * TILE, :], axis=-1)
+            out_ref[p * rpp + r, :] = dot.astype(out_ref.dtype) * em_ref[
+                p * rpp + r, :].astype(out_ref.dtype)
+
+
+def sddmm_grouped(src2, tgt2, em2, x_v, *, v_pad: int, m_pad: int,
+                  num_problems: int, group: int = 8, interpret=None):
+    """Grouped SDDMM: `group` whole problems per grid step."""
+    interpret = resolve_interpret(interpret)
+    assert m_pad % TILE == 0, m_pad
+    while num_problems % group:
+        group //= 2
+    rpp = m_pad // TILE
+    grid = (num_problems // group,)
+    idx_spec = pl.BlockSpec((group * rpp, TILE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_sddmm_g_kernel, v_pad=v_pad, rpp=rpp,
+                          group=group),
+        grid=grid,
+        in_specs=[idx_spec, idx_spec, idx_spec,
+                  pl.BlockSpec((group * v_pad, x_v.shape[-1]),
+                               lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=idx_spec,
+        out_shape=jax.ShapeDtypeStruct((num_problems * rpp, TILE),
+                                       x_v.dtype),
+        interpret=interpret,
+    )(src2, tgt2, em2, x_v)
+
+
 # ------------------------------------------------------------------- sddmm
 
 def _sddmm_kernel(src_ref, tgt_ref, em_ref, xv_ref, out_ref, *,
