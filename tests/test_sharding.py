@@ -186,3 +186,31 @@ def test_sharded_loss_edge_gating_matches_unsharded():
     fr, _ = jax.flatten_util.ravel_pytree(gr)
     np.testing.assert_allclose(np.asarray(fs), np.asarray(fr),
                                rtol=5e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("ring", ["psum", "overlap"])
+def test_sharded_loss_grouped_kernels(ring):
+    """Grouped-problem SpMM kernels (agg_group=2) inside shard_map match
+    the jnp-reference sharded loss on the fake mesh, for both the blocking
+    psum halo and the overlap ring."""
+    cfg, params, insts, g = _setup(n_inst=2, tmax=3, d=16)
+    gp = 2
+    m_new = ((g.m_pad + gp * 128 - 1) // (gp * 128)) * gp * 128
+    gpad = layout.pad_uniform_edges(g, m_new)
+    batch = halo.shard_batch_arrays(gpad)
+    mesh = make_mesh(2, gp)
+    loss_fn = halo.make_sharded_loss(cfg, mesh, v_pad=g.v_pad,
+                                     m_pad=gpad.m_pad, use_pallas=True,
+                                     interpret=True, tile_e=128,
+                                     ring=ring, agg_group=2)
+    specs = halo.batch_specs()
+    jb = {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
+          for k, v in batch.items()}
+    rparams = jax.device_put(params, NamedSharding(mesh, P()))
+    loss_grouped, _ = jax.jit(loss_fn)(rparams, jb)
+
+    ref_fn = halo.make_sharded_loss(cfg, mesh, v_pad=g.v_pad,
+                                    m_pad=gpad.m_pad, use_pallas=False)
+    loss_ref, _ = jax.jit(ref_fn)(rparams, jb)
+    np.testing.assert_allclose(float(loss_grouped), float(loss_ref),
+                               rtol=1e-4, atol=1e-6)

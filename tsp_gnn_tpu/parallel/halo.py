@@ -81,7 +81,7 @@ def batch_specs() -> Dict[str, P]:
 
 def _overlap_v_from_e(src2, tgt2, em2, x, *, b: int, v_pad: int,
                       m_pad_local: int, use_pallas: bool, tile_e: int,
-                      interpret: bool):
+                      interpret: bool, agg_group: int = 1):
     """Halo exchange with the local aggregation INTERLEAVED into the ring.
 
     BASELINE configs[4] asks for the halo exchange "overlapped with local
@@ -106,7 +106,8 @@ def _overlap_v_from_e(src2, tgt2, em2, x, *, b: int, v_pad: int,
     if n == 1:
         _, vfe = make_incidence_ops(v_pad, m_pad_local, b,
                                     use_pallas=use_pallas, tile_e=tile_e,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    agg_group=agg_group)
         return vfe(src2, tgt2, em2, x)
     assert b % n == 0, (
         f"ring='overlap' needs problems-per-device ({b}) divisible by the "
@@ -114,7 +115,7 @@ def _overlap_v_from_e(src2, tgt2, em2, x, *, b: int, v_pad: int,
     g = b // n
     _, vfe_g = make_incidence_ops(v_pad, m_pad_local, g,
                                   use_pallas=use_pallas, tile_e=tile_e,
-                                  interpret=interpret)
+                                  interpret=interpret, agg_group=agg_group)
     d = x.shape[-1]
     R = g * v_pad  # vertex rows per ring chunk (problem-major layout)
 
@@ -150,7 +151,8 @@ def _overlap_v_from_e(src2, tgt2, em2, x, *, b: int, v_pad: int,
 
 def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
                    m_pad_local: int, tmax: int, use_pallas: bool,
-                   tile_e: int, interpret: bool, ring: str = "psum"):
+                   tile_e: int, interpret: bool, ring: str = "psum",
+                   agg_group: int = 1):
     """Forward on one shard: b_local problems x m_pad_local edges.
 
     Returns per-problem (vote_sum, vote_cnt) partials [b_local] — caller
@@ -167,7 +169,7 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
 
     e_from_v_local, v_from_e_local = make_incidence_ops(
         v_pad, m_pad_local, b, use_pallas=use_pallas, tile_e=tile_e,
-        interpret=interpret)
+        interpret=interpret, agg_group=agg_group)
 
     def v_from_e_halo(src2, tgt2, em2, x):
         # halo exchange: all-reduce partial vertex aggregates over the
@@ -181,7 +183,7 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
             return _overlap_v_from_e(
                 src2, tgt2, em2, x, b=b, v_pad=v_pad,
                 m_pad_local=m_pad_local, use_pallas=use_pallas,
-                tile_e=tile_e, interpret=interpret)
+                tile_e=tile_e, interpret=interpret, agg_group=agg_group)
         partial = v_from_e_local(src2, tgt2, em2, x)
         if ring == "ppermute":
             from tsp_gnn_tpu.parallel.ring import ring_all_reduce
@@ -231,7 +233,8 @@ def _local_forward(params, batch, cfg: ModelConfig, *, v_pad: int,
 def make_sharded_loss(cfg: ModelConfig, mesh: Mesh, *, v_pad: int,
                       m_pad: int, tmax: Optional[int] = None,
                       use_pallas: bool = False, tile_e: int = 512,
-                      interpret: bool = False, ring: str = "psum"):
+                      interpret: bool = False, ring: str = "psum",
+                      agg_group: int = 1):
     """Returns loss_fn(params, batch)->(loss, aux) shard_mapped over mesh.
 
     batch: shard_batch_arrays layout.  Params replicated.
@@ -249,7 +252,7 @@ def make_sharded_loss(cfg: ModelConfig, mesh: Mesh, *, v_pad: int,
         sums, cnts = _local_forward(
             params, batch, cfg, v_pad=v_pad, m_pad_local=m_pad_local,
             tmax=tmax, use_pallas=use_pallas, tile_e=tile_e,
-            interpret=interpret, ring=ring)
+            interpret=interpret, ring=ring, agg_group=agg_group)
         sums = jax.lax.psum(sums, "graph")                 # halo'd readout
         cnts = jax.lax.psum(cnts, "graph")
         logits = sums / jnp.maximum(cnts, 1.0)
@@ -275,7 +278,8 @@ def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, *,
                             v_pad: int, m_pad: int,
                             tmax: Optional[int] = None,
                             use_pallas: bool = False, tile_e: int = 1024,
-                            interpret=None, ring: str = "psum"):
+                            interpret=None, ring: str = "psum",
+                            agg_group: int = 1):
     """Jitted (params, opt_state, batch) -> (params, opt_state, metrics)
     over the (data, graph) mesh.
 
@@ -289,7 +293,7 @@ def make_sharded_train_step(cfg: ModelConfig, mesh: Mesh, optimizer, *,
     loss_fn = make_sharded_loss(cfg, mesh, v_pad=v_pad, m_pad=m_pad,
                                 tmax=tmax, use_pallas=use_pallas,
                                 tile_e=tile_e, interpret=interpret,
-                                ring=ring)
+                                ring=ring, agg_group=agg_group)
 
     @jax.jit
     def step(params, opt_state, batch):
